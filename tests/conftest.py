@@ -1,0 +1,25 @@
+"""Test configuration: force JAX onto CPU with 8 virtual devices so
+multi-chip sharding paths are exercised without TPU hardware
+(SURVEY.md §4 recommended strategy)."""
+
+import os
+
+# Must run before jax initializes any backend.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon TPU plugin (sitecustomize) overrides jax_platforms at interpreter
+# start; force it back to CPU before any backend is initialized.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
