@@ -9,5 +9,12 @@ losslessly (see `spev_tpu.utils.torch_loader`).
 
 from spev_tpu.models import modules
 from spev_tpu.models.fastspeech2 import FastSpeech2, init_fastspeech2
+from spev_tpu.models.hifigan import HiFiGANGenerator, HiFiGANConfig
 
-__all__ = ["modules", "FastSpeech2", "init_fastspeech2"]
+__all__ = [
+    "modules",
+    "FastSpeech2",
+    "init_fastspeech2",
+    "HiFiGANGenerator",
+    "HiFiGANConfig",
+]
