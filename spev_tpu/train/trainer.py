@@ -1,0 +1,287 @@
+"""Mesh-native trainer: one jitted update step, NaN-skip policy, warmup.
+
+Rebuilds the reference Trainer (``spev_real_metrics.py:474-707``) as a pjit
+program:
+
+- AdamW(lr, betas=(0.9, 0.98), eps=1e-9, wd=0.01) with the reference's
+  linear warmup ``lr·min(step/4000, 1)`` (``:493-514``) and global-norm clip
+  1.0 (``:578``).
+- The reference's NaN economics — skip a batch on non-finite loss, skip the
+  optimizer step on non-finite grad norm, abort after >10 NaN batches
+  (``:527-528,565-589``) — cannot branch inside a jitted step, so the step
+  computes everything unconditionally and applies a **masked update**:
+  ``params = where(finite, new, old)`` (SURVEY.md §7 hard part #6).  The
+  host reads the returned ``skipped`` flag to keep the abort budget.
+- Data parallelism: batch sharded on the mesh 'data' axis; the gradient
+  all-reduce over ICI is emitted by XLA from the shardings.  Tensor
+  parallelism engages automatically when the mesh has a 'model' axis
+  (see `spev_tpu.parallel.mesh`).
+- Two-phase schedule (documented spev_tts: duration-only warmup epochs →
+  full, ``README.md:154-156``): the phase enters the step as a static
+  ``variance_weight`` (two compiled graphs).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+import time
+from typing import Any, Callable, Iterable, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from spev_tpu.config import SpevConfig
+from spev_tpu.models.fastspeech2 import apply_fastspeech2, init_fastspeech2
+from spev_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+)
+from spev_tpu.train.loss import compute_losses
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # scalar int32, counts *applied* updates (reference step_num)
+
+
+def make_optimizer(cfg: SpevConfig) -> optax.GradientTransformation:
+    tcfg = cfg.train
+
+    def schedule(count):
+        # reference: step_num is incremented before the update, so the n-th
+        # applied update (count = n-1) uses lr·min(n/warmup, 1)  (``:509-514``)
+        step = jnp.maximum(count + 1, 1).astype(jnp.float32)
+        return tcfg.learning_rate * jnp.minimum(step / tcfg.warmup_steps, 1.0)
+
+    return optax.chain(
+        optax.clip_by_global_norm(tcfg.grad_clip_norm),
+        optax.adamw(
+            learning_rate=schedule,
+            b1=tcfg.betas[0],
+            b2=tcfg.betas[1],
+            eps=tcfg.eps,
+            weight_decay=tcfg.weight_decay,
+        ),
+    )
+
+
+def init_train_state(key, cfg: SpevConfig) -> TrainState:
+    params = init_fastspeech2(key, cfg.model)
+    opt = make_optimizer(cfg)
+    return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def _loss_fn(params, cfg: SpevConfig, batch, rng, variance_weight: float):
+    outputs = apply_fastspeech2(
+        params,
+        cfg.model,
+        batch["ids"],
+        batch["lens"],
+        target_durations=batch["durs"],
+        target_pitch=batch["pitch"],
+        target_energy=batch["energy"],
+        target_breath=batch["breath"],
+        target_rough=batch["rough"],
+        target_bright=batch["bright"],
+        dropout_rng=rng,
+        deterministic=rng is None,
+    )
+    return compute_losses(outputs, batch, cfg.train, variance_weight)
+
+
+def make_train_step(
+    cfg: SpevConfig,
+    mesh,
+    params_example,
+    variance_weight: float = 1.0,
+    use_dropout: bool = True,
+) -> Callable:
+    """Build the jitted, sharded train step.
+
+    Returns step(state, batch, rng) -> (state, metrics).  batch arrays are
+    sharded on 'data'; params/opt_state follow `param_shardings`.
+    """
+    opt = make_optimizer(cfg)
+    p_sh = param_shardings(mesh, params_example)
+    rep = replicated(mesh)
+    b_sh = batch_sharding(mesh)
+
+    def step_fn(state: TrainState, batch: dict, rng) -> tuple[TrainState, dict]:
+        drop_rng = rng if use_dropout else None
+        (loss, metrics), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
+            state.params, cfg, batch, drop_rng, variance_weight
+        )
+        gnorm = optax.global_norm(grads)
+        ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        okf = ok.astype(jnp.float32)
+        grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+        updates, new_opt_state = opt.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        params = jax.tree.map(lambda old, new: jnp.where(ok, new, old), state.params, new_params)
+        opt_state = jax.tree.map(
+            lambda old, new: jnp.where(ok, new, old), state.opt_state, new_opt_state
+        )
+        metrics = dict(metrics)
+        metrics["grad_norm"] = gnorm
+        metrics["skipped"] = 1.0 - okf
+        metrics["lr"] = cfg.train.learning_rate * jnp.minimum(
+            jnp.maximum(state.step + 1, 1).astype(jnp.float32) / cfg.train.warmup_steps, 1.0
+        )
+        return TrainState(params, opt_state, state.step + ok.astype(jnp.int32)), metrics
+
+    state_sh = TrainState(
+        params=p_sh,
+        opt_state=jax.tree.map(lambda _: rep, opt.init(params_example)),
+        step=rep,
+    )
+    batch_keys = ("ids", "lens", "durs", "mel", "mel_lens", "log_durs",
+                  "pitch", "energy", "breath", "rough", "bright")
+    batch_sh = {k: b_sh for k in batch_keys}
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_sh, rep),
+        out_shardings=(state_sh, None),
+        donate_argnums=(0,),
+    )
+
+
+def make_eval_step(cfg: SpevConfig, mesh, params_example) -> Callable:
+    """Jitted validation step: reference validate() computes the plain mel L1
+    plus pitch+energy aux MSE (``spev_real_metrics.py:619-654``)."""
+    p_sh = param_shardings(mesh, params_example)
+    b_sh = batch_sharding(mesh)
+
+    def eval_fn(params, batch):
+        _, metrics = _loss_fn(params, cfg, batch, None, 1.0)
+        return {
+            "val_mel": metrics["l_mel"],
+            "val_aux": metrics["l_pitch"] + metrics["l_energy"],
+        }
+
+    batch_keys = ("ids", "lens", "durs", "mel", "mel_lens", "log_durs",
+                  "pitch", "energy", "breath", "rough", "bright")
+    return jax.jit(eval_fn, in_shardings=(p_sh, {k: b_sh for k in batch_keys}),
+                   out_shardings=None)
+
+
+class Trainer:
+    """Host-side training loop (epochs, NaN budget, validation, checkpoints).
+
+    Mirrors the reference Trainer's observable behavior: per-epoch train/val
+    summaries, ``last``/``best`` checkpoints carrying vocab+stats+step, NaN
+    abort after >max_nan_batches, test-inference mel-statistics probes every
+    10 epochs (SURVEY.md §5).
+    """
+
+    def __init__(
+        self,
+        cfg: SpevConfig,
+        vocab,
+        stats: dict,
+        ckpt_dir: str = "checkpoints/run",
+        log_dir: str = "logs/run",
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.vocab = vocab
+        self.stats = stats
+        self.ckpt_dir = ckpt_dir
+        self.log_dir = log_dir
+        os.makedirs(ckpt_dir, exist_ok=True)
+        os.makedirs(log_dir, exist_ok=True)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            cfg.train.mesh_shape, cfg.train.mesh_axes
+        )
+        self.rng = jax.random.PRNGKey(seed)
+        self.rng, init_key = jax.random.split(self.rng)
+        self.state = init_train_state(init_key, cfg)
+        self._steps = {}
+        self._eval_step = None
+        self.nan_count = 0
+        self.best_val = math.inf
+        self.epoch = 0
+
+    def _get_step(self, variance_weight: float):
+        key = float(variance_weight)
+        if key not in self._steps:
+            self._steps[key] = make_train_step(
+                self.cfg, self.mesh, self.state.params, variance_weight=key
+            )
+        return self._steps[key]
+
+    def train_epoch(self, batches: Iterable[dict]) -> dict:
+        """Run one epoch over an iterable of numpy batch dicts.  Returns
+        aggregate metrics.  Raises RuntimeError when the NaN budget is
+        exhausted (reference ``:569-571``)."""
+        vw = 0.0 if self.epoch < self.cfg.train.warmup_epochs else 1.0
+        step = self._get_step(vw)
+        total, n = 0.0, 0
+        last_metrics = {}
+        for batch in batches:
+            self.rng, drop = jax.random.split(self.rng)
+            self.state, metrics = step(self.state, batch, drop)
+            skipped = float(metrics["skipped"])
+            if skipped > 0.5:
+                self.nan_count += 1
+                if self.nan_count > self.cfg.train.max_nan_batches:
+                    raise RuntimeError(
+                        f"Too many NaN batches ({self.nan_count}). Stopping training."
+                    )
+                continue
+            total += float(metrics["loss"])
+            n += 1
+            last_metrics = metrics
+        self.epoch += 1
+        out = {k: float(v) for k, v in last_metrics.items()}
+        out["train_loss"] = total / max(n, 1)
+        return out
+
+    def validate(self, batches: Iterable[dict]) -> float:
+        if self._eval_step is None:
+            self._eval_step = make_eval_step(self.cfg, self.mesh, self.state.params)
+        tot, aux, n = 0.0, 0.0, 0
+        for batch in batches:
+            m = self._eval_step(self.state.params, batch)
+            v = float(m["val_mel"])
+            if math.isfinite(v):
+                tot += v
+                aux += float(m["val_aux"])
+                n += 1
+        return tot / max(n, 1)
+
+    def save(self, name: str = "last") -> str:
+        from spev_tpu.train.checkpoint import save_checkpoint
+
+        path = os.path.join(self.ckpt_dir, f"{name}.spev")
+        save_checkpoint(
+            path,
+            params=self.state.params,
+            opt_state=self.state.opt_state,
+            step=int(self.state.step),
+            epoch=self.epoch,
+            vocab=list(self.vocab.symbols) if hasattr(self.vocab, "symbols") else list(self.vocab),
+            stats=self.stats,
+        )
+        return path
+
+    def maybe_save_best(self, val_loss: float) -> bool:
+        if math.isfinite(val_loss) and val_loss < self.best_val:
+            self.best_val = val_loss
+            self.save("best")
+            return True
+        return False
+
+    def restore(self, path: str) -> None:
+        from spev_tpu.train.checkpoint import load_checkpoint_into
+
+        state, epoch = load_checkpoint_into(path, self.state)
+        self.state = state
+        self.epoch = epoch

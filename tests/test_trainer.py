@@ -1,0 +1,144 @@
+"""Trainer: sharded train step on a multi-device CPU mesh, NaN-skip masked
+updates, warmup LR schedule, checkpoint round-trip."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from spev_tpu.config import SpevConfig, ModelConfig, TrainConfig
+from spev_tpu.parallel.mesh import make_mesh, shard_batch
+from spev_tpu.train.trainer import (
+    TrainState,
+    init_train_state,
+    make_train_step,
+    make_eval_step,
+)
+from spev_tpu.train.checkpoint import save_checkpoint, load_checkpoint_into
+
+P, M, H, V, NMEL = 16, 64, 32, 23, 8
+
+
+def tiny_cfg(**train_kw):
+    return SpevConfig(
+        model=ModelConfig(
+            vocab_size=V, embed_dim=H, hidden_dim=H, n_mels=NMEL,
+            max_phonemes=P, max_frames=M,
+        ),
+        train=TrainConfig(batch_size=8, warmup_steps=10, **train_kw),
+    )
+
+
+def synth_batch(rng, B=8, n_ph=10):
+    ids = np.zeros((B, P), np.int32)
+    ids[:, :n_ph] = rng.integers(1, V, size=(B, n_ph))
+    durs = np.zeros((B, P), np.float32)
+    durs[:, :n_ph] = rng.integers(1, 5, size=(B, n_ph))
+    mel_lens = durs.sum(axis=1).astype(np.int32)
+    mel = np.zeros((B, M, NMEL), np.float32)
+    for b in range(B):
+        mel[b, : mel_lens[b]] = rng.standard_normal((mel_lens[b], NMEL)) - 4.0
+    feat = lambda lo, hi: np.where(
+        durs > 0, rng.uniform(lo, hi, (B, P)).astype(np.float32), 0.0
+    )
+    return {
+        "ids": ids,
+        "lens": np.full((B,), n_ph, np.int32),
+        "durs": durs,
+        "mel": np.clip(mel, -10, 2),
+        "mel_lens": mel_lens,
+        "log_durs": np.log(np.maximum(durs, 1) + 1) * (durs > 0),
+        "pitch": feat(-1, 1),
+        "energy": feat(-1, 1),
+        "breath": feat(0, 0.8),
+        "rough": feat(0, 1.5),
+        "bright": feat(-1, 1),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    mesh = make_mesh((4, 2), ("data", "model"))
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(cfg, mesh, state.params, use_dropout=False)
+    return cfg, mesh, state, step
+
+
+def test_loss_decreases_on_fixed_batch(setup):
+    cfg, mesh, state, step = setup
+    rng = np.random.default_rng(0)
+    batch = shard_batch(mesh, synth_batch(rng))
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, batch, key)
+        losses.append(float(metrics["loss"]))
+        assert float(metrics["skipped"]) == 0.0
+    assert int(state.step) == 8
+    assert losses[-1] < losses[0]
+
+
+def test_warmup_lr_schedule(setup):
+    cfg, mesh, _, step = setup
+    state = init_train_state(jax.random.PRNGKey(2), cfg)
+    batch = shard_batch(mesh, synth_batch(np.random.default_rng(1)))
+    key = jax.random.PRNGKey(0)
+    state, m1 = step(state, batch, key)
+    # first applied update: lr = base * 1/warmup_steps
+    assert float(m1["lr"]) == pytest.approx(cfg.train.learning_rate / cfg.train.warmup_steps)
+
+
+def test_nan_batch_skipped_params_unchanged(setup):
+    cfg, mesh, _, step = setup
+    state = init_train_state(jax.random.PRNGKey(3), cfg)
+    batch = synth_batch(np.random.default_rng(2))
+    batch["mel"][0, 0, 0] = np.nan
+    batch = shard_batch(mesh, batch)
+    before = jax.tree.map(np.asarray, state.params)
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert float(metrics["skipped"]) == 1.0
+    assert int(state.step) == 0
+    after = jax.tree.map(np.asarray, state.params)
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_duration_only_warmup_phase(setup):
+    cfg, mesh, _, _ = setup
+    state = init_train_state(jax.random.PRNGKey(4), cfg)
+    step0 = make_train_step(cfg, mesh, state.params, variance_weight=0.0, use_dropout=False)
+    batch = shard_batch(mesh, synth_batch(np.random.default_rng(3)))
+    _, metrics = step0(state, batch, jax.random.PRNGKey(0))
+    expected = cfg.train.w_mel * float(metrics["l_mel"]) + cfg.train.w_duration * float(
+        metrics["l_dur"]
+    )
+    assert float(metrics["loss"]) == pytest.approx(expected, rel=1e-5)
+
+
+def test_eval_step(setup):
+    cfg, mesh, _, _ = setup
+    # fresh state: the shared fixture state was donated by the train step
+    state = init_train_state(jax.random.PRNGKey(7), cfg)
+    ev = make_eval_step(cfg, mesh, state.params)
+    batch = shard_batch(mesh, synth_batch(np.random.default_rng(4)))
+    m = ev(state.params, batch)
+    assert np.isfinite(float(m["val_mel"])) and np.isfinite(float(m["val_aux"]))
+
+
+def test_checkpoint_roundtrip(tmp_path, setup):
+    cfg, mesh, _, step = setup
+    state = init_train_state(jax.random.PRNGKey(8), cfg)
+    batch = shard_batch(mesh, synth_batch(np.random.default_rng(5)))
+    state, _ = step(state, batch, jax.random.PRNGKey(9))
+    path = str(tmp_path / "ck.spev")
+    save_checkpoint(
+        path, state.params, state.opt_state, step=int(state.step), epoch=3,
+        vocab=["<PAD>", "a"], stats={"p_mean": 5.0},
+    )
+    fresh = init_train_state(jax.random.PRNGKey(42), cfg)
+    restored, epoch = load_checkpoint_into(path, fresh)
+    assert epoch == 3
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
