@@ -1,0 +1,236 @@
+"""End-to-end synthesis: text → phoneme IDs → jitted FastSpeech2 → jitted
+HiFi-GAN/Griffin-Lim → waveform.
+
+Serving design (vs the reference ``infer_tts``, ``spev_real_metrics.py:
+738-787``):
+
+- `Synthesizer` loads the checkpoint once and caches one compiled graph per
+  (phoneme-bucket, frame-bucket) pair; per request the only host↔device
+  traffic is the input IDs going down and (mel_len, waveform) coming back.
+- The acoustic model and vocoder are fused in a single jit, so XLA overlaps
+  and fuses across the boundary; boundary masking inside HiFi-GAN
+  (`apply_hifigan(mel_len=...)`) makes bucket padding bit-invisible.
+- `infer_tts(...)` reproduces the reference's one-shot function signature
+  and behavior (constant control tensors from the breathiness/roughness/
+  brightness scalars, NaN-clean + clamp before vocoding) on top of
+  `Synthesizer`.
+
+Checkpoints: native ``.spev`` (msgpack) or reference ``.pt`` (torch zip) —
+auto-detected.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spev_tpu.config import AudioConfig, ModelConfig
+from spev_tpu.models.fastspeech2 import apply_fastspeech2
+from spev_tpu.models.hifigan import apply_hifigan
+from spev_tpu.infer.vocoder import Vocoder
+from spev_tpu.ops.griffin_lim import mel_to_audio
+from spev_tpu.text.g2p import G2P
+from spev_tpu.text.vocab import Vocab, pad_to_bucket, pick_bucket
+
+DEFAULT_PHONEME_BUCKETS = (64, 128, 256)
+DEFAULT_FRAME_BUCKETS = (256, 512, 1024, 2048)
+
+
+def _load_any_checkpoint(path: str):
+    """(params, vocab list, stats) from .spev or reference .pt."""
+    if path.endswith(".spev"):
+        from spev_tpu.train.checkpoint import load_params
+
+        return load_params(path)
+    from spev_tpu.train.checkpoint import import_reference_checkpoint
+
+    params, vocab, stats, _, _ = import_reference_checkpoint(path)
+    return params, vocab, stats
+
+
+class Synthesizer:
+    """Compiled TTS serving stack."""
+
+    def __init__(
+        self,
+        checkpoint: str | tuple,
+        hifigan_dir: Optional[str] = None,
+        audio: AudioConfig = AudioConfig(),
+        model_cfg: Optional[ModelConfig] = None,
+        g2p_backend: str = "auto",
+        phoneme_buckets: Sequence[int] = DEFAULT_PHONEME_BUCKETS,
+        frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
+    ):
+        if isinstance(checkpoint, tuple):
+            params, vocab, stats = checkpoint
+        else:
+            params, vocab, stats = _load_any_checkpoint(checkpoint)
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.vocab = Vocab(vocab)
+        self.stats = stats
+        self.audio = audio
+        import dataclasses
+
+        base = model_cfg or ModelConfig()
+        self.model_cfg = dataclasses.replace(base, vocab_size=len(self.vocab))
+        self.g2p = G2P(g2p_backend)
+        self.vocoder = Vocoder(hifigan_dir, audio=audio)
+        self.phoneme_buckets = tuple(sorted(phoneme_buckets))
+        self.frame_buckets = tuple(sorted(frame_buckets))
+        self._graphs: Dict[tuple, callable] = {}
+
+    # -- compiled graphs ----------------------------------------------------
+
+    def _graph(self, P: int, M: int):
+        """Fused acoustic+vocoder graph for bucket (P, M)."""
+        import dataclasses
+
+        key = (P, M, self.vocoder.is_neural)
+        if key in self._graphs:
+            return self._graphs[key]
+        cfg = dataclasses.replace(self.model_cfg, max_phonemes=P, max_frames=M)
+        neural = self.vocoder.is_neural
+        gen = self.vocoder.generator
+
+        @jax.jit
+        def run(params, voc_params, ids, lengths, breath, rough, bright, d, p, e):
+            out = apply_fastspeech2(
+                params, cfg, ids, lengths,
+                target_breath=breath, target_rough=rough, target_bright=bright,
+                d_control=d, p_control=p, e_control=e,
+            )
+            mel = out["mel_pred"]
+            # reference pre-vocoder hygiene (``:776-781``)
+            mel = jnp.clip(jnp.nan_to_num(mel, nan=-5.0), -10.0, 2.0)
+            if neural:
+                wav = apply_hifigan(voc_params, gen.cfg, mel, mel_len=out["mel_len"])
+            else:
+                wav = jax.vmap(
+                    lambda m: mel_to_audio(
+                        jnp.exp(m).T,
+                        sr=self.audio.sample_rate,
+                        n_fft=self.audio.n_fft,
+                        hop_length=self.audio.hop_length,
+                        fmin=self.audio.fmin,
+                        fmax=self.audio.fmax,
+                    )
+                )(mel)
+            return wav, mel, out["mel_len"]
+
+        self._graphs[key] = run
+        return run
+
+    # -- public API ---------------------------------------------------------
+
+    def phonemes_to_ids(self, phones) -> np.ndarray:
+        return self.vocab.encode(phones, fallback=1)
+
+    def synthesize_ids(
+        self,
+        ids: np.ndarray,
+        breath: Optional[np.ndarray] = None,
+        rough: Optional[np.ndarray] = None,
+        bright: Optional[np.ndarray] = None,
+        duration_scale: float = 1.0,
+        pitch_scale: float = 1.0,
+        energy_scale: float = 1.0,
+        frame_bucket: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """ids (n_ph,) → (waveform, log-mel (L, n_mels))."""
+        n_ph = len(ids)
+        P = pick_bucket(n_ph, self.phoneme_buckets)
+        M = frame_bucket or self.frame_buckets[-1]
+
+        def ctl(v, default):
+            arr = np.full((P,), 0.0, np.float32)
+            src = v if v is not None else np.full((n_ph,), default, np.float32)
+            arr[:n_ph] = src
+            return jnp.asarray(arr[None])
+
+        run = self._graph(P, M)
+        hop = (
+            self.vocoder.generator.cfg.hop_recovery
+            if self.vocoder.is_neural
+            else self.audio.hop_length
+        )
+        voc_params = self.vocoder.generator.params if self.vocoder.is_neural else {}
+        wav, mel, mel_len = run(
+            self.params,
+            voc_params,
+            jnp.asarray(pad_to_bucket(ids, P, self.vocab.pad_id)[None]),
+            jnp.asarray([n_ph], jnp.int32),
+            ctl(breath, 0.0) if breath is not None else None,
+            ctl(rough, 0.0) if rough is not None else None,
+            ctl(bright, 0.0) if bright is not None else None,
+            jnp.float32(duration_scale),
+            jnp.float32(pitch_scale),
+            jnp.float32(energy_scale),
+        )
+        L = int(mel_len[0])
+        return np.asarray(wav[0, : L * hop]), np.asarray(mel[0, :L])
+
+    def synthesize(
+        self,
+        text: str,
+        breathiness: float = 0.1,
+        roughness: float = 0.05,
+        brightness: float = 0.0,
+        pitch_scale: float = 1.0,
+        duration_scale: float = 1.0,
+        energy_scale: float = 1.0,
+        breath_curve: Optional[np.ndarray] = None,
+        rough_curve: Optional[np.ndarray] = None,
+        bright_curve: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Reference-equivalent synthesis: constant control tensors from the
+        scalars (``:758-760``), or explicit per-phoneme curves (the temporal
+        agent path)."""
+        phones = self.g2p.phonemes(text)
+        ids = self.phonemes_to_ids(phones)
+        n = len(ids)
+
+        def curve(c, scalar):
+            if c is not None:
+                return np.asarray(c, np.float32)[:n]
+            return np.full((n,), scalar, np.float32)
+
+        return self.synthesize_ids(
+            ids,
+            breath=curve(breath_curve, breathiness),
+            rough=curve(rough_curve, roughness),
+            bright=curve(bright_curve, brightness),
+            duration_scale=duration_scale,
+            pitch_scale=pitch_scale,
+            energy_scale=energy_scale,
+        )
+
+
+def infer_tts(
+    checkpoint_path: str,
+    text: str,
+    breathiness: float = 0.1,
+    roughness: float = 0.05,
+    brightness: float = 0.0,
+    pitch_scale: float = 1.0,
+    duration_scale: float = 1.0,
+    energy_scale: float = 1.0,
+    hifigan_dir: str = "./hifi-gan",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One-shot inference matching the reference function signature
+    (``spev_real_metrics.py:738-787``).  Returns (waveform, mel as
+    (L, n_mels)).  For serving, construct a `Synthesizer` once instead."""
+    synth = Synthesizer(checkpoint_path, hifigan_dir=hifigan_dir)
+    return synth.synthesize(
+        text,
+        breathiness=breathiness,
+        roughness=roughness,
+        brightness=brightness,
+        pitch_scale=pitch_scale,
+        duration_scale=duration_scale,
+        energy_scale=energy_scale,
+    )

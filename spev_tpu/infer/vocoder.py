@@ -1,0 +1,79 @@
+"""Vocoder wrapper: HiFi-GAN when a checkpoint directory is available,
+Griffin-Lim fallback otherwise (reference ``spev_real_metrics.py:709-736``).
+
+Both paths run on-device; the Griffin-Lim fallback feeds ``exp(log_mel)``
+into the NNLS + Griffin-Lim pipeline with the reference CONFIG's fmin/fmax
+(``:730-733``)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spev_tpu.config import AudioConfig
+from spev_tpu.models.hifigan import HiFiGANGenerator
+from spev_tpu.ops.griffin_lim import mel_to_audio
+
+
+class Vocoder:
+    """mel (T, n_mels) log-domain → waveform.
+
+    Args:
+      hifigan_dir: directory with config.json + g_* checkpoint; when absent
+        (or None) Griffin-Lim is used, mirroring the reference fallback.
+    """
+
+    def __init__(
+        self,
+        hifigan_dir: Optional[str] = None,
+        audio: AudioConfig = AudioConfig(),
+        generator: Optional[HiFiGANGenerator] = None,
+    ):
+        self.audio = audio
+        self.generator = generator
+        if generator is None and hifigan_dir and os.path.exists(
+            os.path.join(hifigan_dir, "config.json")
+        ):
+            try:
+                self.generator = HiFiGANGenerator.from_pretrained(hifigan_dir)
+            except FileNotFoundError:
+                self.generator = None
+        self._jit_hifigan = None
+        self._jit_gl = None
+
+    @property
+    def is_neural(self) -> bool:
+        return self.generator is not None
+
+    def infer(self, log_mel: jnp.ndarray) -> np.ndarray:
+        """log_mel (T, n_mels) → waveform np.float32 (T·hop,)-ish."""
+        if self.generator is not None:
+            if self._jit_hifigan is None:
+                gen = self.generator
+
+                def run(params, mel):
+                    from spev_tpu.models.hifigan import apply_hifigan
+
+                    return apply_hifigan(params, gen.cfg, mel[None])[0]
+
+                self._jit_hifigan = jax.jit(run)
+            return np.asarray(self._jit_hifigan(self.generator.params, jnp.asarray(log_mel)))
+        if self._jit_gl is None:
+            a = self.audio
+
+            def run(mel):
+                return mel_to_audio(
+                    jnp.exp(mel).T,
+                    sr=a.sample_rate,
+                    n_fft=a.n_fft,
+                    hop_length=a.hop_length,
+                    fmin=a.fmin,
+                    fmax=a.fmax,
+                )
+
+            self._jit_gl = jax.jit(run)
+        return np.asarray(self._jit_gl(jnp.asarray(log_mel)))

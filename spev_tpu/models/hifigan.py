@@ -127,41 +127,75 @@ def conv_transpose1d(p: dict, x: jnp.ndarray, stride: int) -> jnp.ndarray:
     return out + p["bias"]
 
 
-def _resblock1(p: dict, x: jnp.ndarray, dilations: Sequence[int]) -> jnp.ndarray:
+def _mask_valid(x: jnp.ndarray, valid_len) -> jnp.ndarray:
+    """Zero positions ≥ valid_len along the time axis of (B, T, C).
+
+    Under static frame bucketing this makes every conv see exactly the
+    implicit zero padding the reference's exact-length tensors get from
+    torch 'same' padding — bit-exact boundary behavior (see Synthesizer)."""
+    if valid_len is None:
+        return x
+    t = jnp.arange(x.shape[1], dtype=jnp.int32)[None, :, None]
+    return jnp.where(t < jnp.reshape(valid_len, (-1, 1, 1)), x, 0.0)
+
+
+def _resblock1(p: dict, x: jnp.ndarray, dilations: Sequence[int], valid) -> jnp.ndarray:
     for i, d in enumerate(dilations):
         h = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        h = _mask_valid(h, valid)
         h = _dilated_conv1d(p["convs1"][i], h, d)
         h = jax.nn.leaky_relu(h, LRELU_SLOPE)
+        h = _mask_valid(h, valid)
         h = _dilated_conv1d(p["convs2"][i], h, 1)
-        x = x + h
+        x = _mask_valid(x + h, valid)
     return x
 
 
-def _resblock2(p: dict, x: jnp.ndarray, dilations: Sequence[int]) -> jnp.ndarray:
+def _resblock2(p: dict, x: jnp.ndarray, dilations: Sequence[int], valid) -> jnp.ndarray:
     for i, d in enumerate(dilations):
         h = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        h = _mask_valid(h, valid)
         h = _dilated_conv1d(p["convs"][i], h, d)
-        x = x + h
+        x = _mask_valid(x + h, valid)
     return x
 
 
-def apply_hifigan(params: dict, cfg: HiFiGANConfig, mel: jnp.ndarray) -> jnp.ndarray:
-    """mel (B, T, num_mels) → waveform (B, T·hop_recovery)."""
-    x = _dilated_conv1d(params["conv_pre"], mel, 1)
+def apply_hifigan(
+    params: dict, cfg: HiFiGANConfig, mel: jnp.ndarray, mel_len=None
+) -> jnp.ndarray:
+    """mel (B, T, num_mels) → waveform (B, T·hop_recovery).
+
+    mel_len: optional (B,) valid frame counts.  When given, activations are
+    masked at each stage so bucket-padded inputs produce bit-identical
+    waveforms (up to sample ``mel_len·hop``) to an exact-length run — the
+    parity mode used by the Synthesizer.  When None (fully valid buckets,
+    e.g. streaming batches), masking is skipped entirely.
+    """
+    valid = mel_len
+    x = _mask_valid(mel, valid)
+    x = _dilated_conv1d(params["conv_pre"], x, 1)
     n_kernels = len(cfg.resblock_kernel_sizes)
     for i, u in enumerate(cfg.upsample_rates):
         x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        x = _mask_valid(x, valid)
         x = conv_transpose1d(params["ups"][i], x, u)
+        valid = None if valid is None else valid * u
+        x = _mask_valid(x, valid)
         acc = None
         for j in range(n_kernels):
             rb = params["resblocks"][i * n_kernels + j]
             dil = cfg.resblock_dilation_sizes[j]
-            out = _resblock1(rb, x, dil) if cfg.resblock == "1" else _resblock2(rb, x, dil)
+            out = (
+                _resblock1(rb, x, dil, valid)
+                if cfg.resblock == "1"
+                else _resblock2(rb, x, dil, valid)
+            )
             acc = out if acc is None else acc + out
         x = acc / n_kernels
     # upstream uses F.leaky_relu's default slope (0.01) before conv_post,
     # unlike the 0.1 slope used everywhere else
     x = jax.nn.leaky_relu(x, 0.01)
+    x = _mask_valid(x, valid)
     x = _dilated_conv1d(params["conv_post"], x, 1)
     return jnp.tanh(x)[..., 0]
 

@@ -43,9 +43,30 @@ def save_checkpoint(path, params, opt_state=None, step=0, epoch=0, vocab=None, s
     os.replace(tmp, path)
 
 
+def _relistify(tree):
+    """Invert flax to_state_dict's list→{'0': ...} conversion so loaded
+    params have the same pytree structure as freshly initialized ones."""
+    if isinstance(tree, dict):
+        conv = {k: _relistify(v) for k, v in tree.items()}
+        if conv and all(k.isdigit() for k in conv):
+            return [conv[str(i)] for i in range(len(conv))]
+        return conv
+    return tree
+
+
 def load_checkpoint(path) -> dict:
+    """Load the raw checkpoint payload (model/optimizer in state-dict form,
+    i.e. lists appear as {'0': ...} dicts).  Use ``load_params`` for a
+    ready-to-apply param pytree."""
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
+
+
+def load_params(path) -> Tuple[Any, list, dict]:
+    """(params pytree, vocab, stats) with canonical list structure."""
+    ckpt = load_checkpoint(path)
+    meta = ckpt["meta"]
+    return _relistify(ckpt["model"]), list(meta["vocab"]), dict(meta["stats"])
 
 
 def load_checkpoint_into(path, state) -> Tuple[Any, int]:
