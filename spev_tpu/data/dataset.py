@@ -1,0 +1,321 @@
+"""Feature extraction and dataset cache.
+
+Reference pipeline (``spev_real_metrics.py:282-462``), reproduced with the
+framework's own DSP kernels (librosa-free):
+
+1. **Stats pass** over ≤500 random wavs: voiced log-F0 (pyin, hop 512 — the
+   pyin default the reference hits by omitting hop_length at ``:311``),
+   log-RMS, log spectral centroid → global means/stds (+1e-5 on stds).
+2. **Per-file pass**: load 22.05 kHz mono (skip < 4000 samples), durations
+   from MFA TextGrids (``phones``/``phonemes`` tier) or G2P fallback with
+   uniform durations; log-mel (80, fmax=sr/2 — librosa default the
+   reference uses by omission, NOT its CONFIG fmax); F0/RMS/centroid at hop
+   256; the reference's exact duration-rescale-to-mel-length algorithm
+   (remainder to the last phoneme / trimmed from the tail); per-phoneme
+   z-scored + clipped targets:
+   pitch = mean voiced log-F0 (clip ±2.5), energy = mean log-RMS (±2.5),
+   breath = 1 − mean(voiced_prob) ([0, 0.8]), rough = std voiced log-F0
+   ([0, 1.5]), bright = z-scored mean log-centroid (±2.5)  (SURVEY.md §2.2).
+3. Cache: per-utterance ``u_{i:05d}.npz`` + ``metadata.json`` with files,
+   stats, vocab (sorted union with specials).
+
+DSP runs through jitted kernels; signals are padded to 8192-sample buckets
+so each bucket compiles once (frame counts are computed from the true
+length; the final 1-2 frames of a bucket-padded signal can differ slightly
+from an exact-length run — irrelevant after per-corpus z-scoring).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import random
+import shutil
+from functools import lru_cache
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spev_tpu.config import AudioConfig
+from spev_tpu.ops.features import rms_energy, spectral_centroid, yin_f0
+from spev_tpu.ops.stft import log_mel_spectrogram
+from spev_tpu.text.g2p import G2P
+from spev_tpu.text.textgrid import intervals_to_durations, phone_intervals
+from spev_tpu.text.vocab import SIL, SPECIALS
+from spev_tpu.utils.wavio import read_wav, resample_linear
+
+_SIG_BUCKET = 8192
+
+
+class FeatureExtractor:
+    """Jitted per-signal DSP with signal-length bucketing."""
+
+    def __init__(self, audio: AudioConfig = AudioConfig()):
+        self.audio = audio
+        self._full = {}
+        self._stats_fn = {}
+
+    def _get_full(self, n: int):
+        if n not in self._full:
+            a = self.audio
+
+            @jax.jit
+            def run(y):
+                mel = log_mel_spectrogram(
+                    y, sr=a.sample_rate, n_fft=a.n_fft, hop_length=a.hop_length,
+                    n_mels=a.n_mels, fmin=0.0, fmax=a.sample_rate / 2,
+                    floor=a.mel_floor, clip_min=a.mel_clip_min, clip_max=a.mel_clip_max,
+                )
+                f0, _, vprob = yin_f0(
+                    y, sr=a.sample_rate, fmin=a.f0_min, fmax=a.f0_max, hop_length=a.hop_length
+                )
+                rms = rms_energy(y, hop_length=a.hop_length)
+                cent = spectral_centroid(y, sr=a.sample_rate, hop_length=a.hop_length)
+                return mel, f0, vprob, rms, cent
+
+            self._full[n] = run
+        return self._full[n]
+
+    def _get_stats(self, n: int):
+        if n not in self._stats_fn:
+            a = self.audio
+
+            @jax.jit
+            def run(y):
+                # stats pass uses the pyin default hop (frame_length//4 = 512)
+                f0, _, _ = yin_f0(y, sr=a.sample_rate, fmin=a.f0_min, fmax=a.f0_max,
+                                  hop_length=512)
+                rms = rms_energy(y, hop_length=a.hop_length)
+                cent = spectral_centroid(y, sr=a.sample_rate, hop_length=a.hop_length)
+                return f0, rms, cent
+
+            self._stats_fn[n] = run
+        return self._stats_fn[n]
+
+    @staticmethod
+    def _bucket(y: np.ndarray):
+        n = ((len(y) + _SIG_BUCKET - 1) // _SIG_BUCKET) * _SIG_BUCKET
+        return np.pad(y.astype(np.float32), (0, n - len(y))), n
+
+    def full_features(self, y: np.ndarray):
+        """(mel (n_mels, T), f0, voiced_prob, log_rms, centroid) with frame
+        counts trimmed to the true signal length."""
+        a = self.audio
+        ypad, n = self._bucket(y)
+        mel, f0, vprob, rms, cent = self._get_full(n)(jnp.asarray(ypad))
+        t = 1 + len(y) // a.hop_length
+        return (
+            np.asarray(mel)[:, :t],
+            np.asarray(f0)[:t],
+            np.asarray(vprob)[:t],
+            np.log(np.asarray(rms)[:t] + 1e-6),
+            np.asarray(cent)[:t],
+        )
+
+    def stats_features(self, y: np.ndarray):
+        ypad, n = self._bucket(y)
+        f0, rms, cent = self._get_stats(n)(jnp.asarray(ypad))
+        t256 = 1 + len(y) // self.audio.hop_length
+        t512 = 1 + len(y) // 512
+        return np.asarray(f0)[:t512], np.asarray(rms)[:t256], np.asarray(cent)[:t256]
+
+
+def _rescale_durations(durs: List[int], phs: List[str], target: int):
+    """The reference's exact rescale algorithm (``:373-397``): scale each
+    duration (min 1), add remainder to the last phoneme or trim from the
+    tail, dropping emptied phonemes.  Returns (phs, durs) or None on the
+    reference's bail conditions."""
+    total = sum(durs)
+    if total <= 0:
+        return None
+    scale = target / total
+    new = [max(1, int(d * scale)) for d in durs]
+    phs = list(phs)
+    cur = sum(new)
+    if cur < target:
+        new[-1] += target - cur
+    elif cur > target:
+        diff = cur - target
+        while diff > 0 and new:
+            if new[-1] > diff:
+                new[-1] -= diff
+                diff = 0
+            else:
+                diff -= new[-1]
+                new.pop()
+                phs.pop()
+                if not new:
+                    break
+    if not new or sum(new) != target:
+        return None
+    return phs, new
+
+
+class SpevDataset:
+    """Two-pass preprocessed dataset with per-utterance npz cache."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        textgrid_dir: Optional[str] = None,
+        cache_dir: str = "cache_spev",
+        audio: AudioConfig = AudioConfig(),
+        g2p_backend: str = "auto",
+        force_rebuild: bool = False,
+        stats_sample: int = 500,
+        min_samples: int = 4000,
+        seed: int = 1234,
+    ):
+        self.audio = audio
+        self.cache_dir = cache_dir
+        meta_path = os.path.join(cache_dir, "metadata.json")
+
+        if force_rebuild and os.path.exists(cache_dir):
+            shutil.rmtree(cache_dir)
+        os.makedirs(cache_dir, exist_ok=True)
+
+        if os.path.exists(meta_path) and not force_rebuild:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.files = meta["files"]
+            self.stats = meta["stats"]
+            self.vocab = meta["vocab"]
+            return
+
+        fx = FeatureExtractor(audio)
+        g2p = G2P(g2p_backend)
+        wavs = sorted(
+            glob.glob(os.path.join(os.path.abspath(data_dir), "**", "*.wav"), recursive=True)
+        )
+        if not wavs:
+            raise FileNotFoundError(f"no wavs under {data_dir}")
+
+        # ---- pass 1: stats -------------------------------------------------
+        rng = random.Random(seed)
+        sample = rng.sample(wavs, min(len(wavs), stats_sample))
+        all_p, all_e, all_c = [], [], []
+        for w in sample:
+            try:
+                y = self._load(w)
+                if len(y) < min_samples:
+                    continue
+                f0, rms, cent = fx.stats_features(y)
+                logf0 = np.log(np.nan_to_num(f0, nan=1e-8) + 1e-8)
+                all_p.extend(logf0[logf0 > -5].tolist())
+                all_e.extend(np.log(rms + 1e-6).tolist())
+                all_c.extend(np.log(cent + 1e-8).tolist())
+            except Exception:
+                continue
+        self.stats = {
+            "p_mean": float(np.mean(all_p)) if all_p else 0.0,
+            "p_std": float(np.std(all_p)) + 1e-5 if all_p else 1.0,
+            "e_mean": float(np.mean(all_e)) if all_e else 0.0,
+            "e_std": float(np.std(all_e)) + 1e-5 if all_e else 1.0,
+            "c_mean": float(np.mean(all_c)) if all_c else 0.0,
+            "c_std": float(np.std(all_c)) + 1e-5 if all_c else 1.0,
+        }
+
+        # ---- pass 2: per-file features ------------------------------------
+        vocab_set = set(SPECIALS)
+        self.files = []
+        for i, wav_path in enumerate(wavs):
+            try:
+                entry = self._process_file(i, wav_path, textgrid_dir, fx, g2p, min_samples)
+            except Exception:
+                continue
+            if entry is None:
+                continue
+            path, phs = entry
+            vocab_set.update(phs)
+            self.files.append(path)
+
+        self.vocab = sorted(vocab_set)
+        with open(meta_path, "w") as f:
+            json.dump({"files": self.files, "stats": self.stats, "vocab": self.vocab}, f)
+
+    def _load(self, path: str) -> np.ndarray:
+        y, sr = read_wav(path)
+        if sr != self.audio.sample_rate:
+            y = resample_linear(y, sr, self.audio.sample_rate)
+        return y
+
+    def _process_file(self, i, wav_path, textgrid_dir, fx, g2p, min_samples):
+        y = self._load(wav_path)
+        if len(y) < min_samples:
+            return None
+        basename = os.path.splitext(os.path.basename(wav_path))[0]
+
+        phs, durs = [], []
+        if textgrid_dir:
+            cands = glob.glob(
+                os.path.join(textgrid_dir, "**", f"{basename}.TextGrid"), recursive=True
+            )
+            if cands:
+                try:
+                    ivs = phone_intervals(cands[0])
+                    if ivs:
+                        phs, durs = intervals_to_durations(
+                            ivs, self.audio.sample_rate, self.audio.hop_length
+                        )
+                except Exception:
+                    pass
+        if not phs:
+            txt_path = os.path.splitext(wav_path)[0] + ".txt"
+            if os.path.exists(txt_path):
+                with open(txt_path) as f:
+                    text = f.read().strip()
+                phs = g2p.phonemes(text)
+                durs = [int((len(y) / self.audio.hop_length) / len(phs))] * len(phs)
+        if not phs:
+            return None
+
+        mel, f0, vprob, log_rms, cent = fx.full_features(y)
+        min_l = min(mel.shape[1], len(f0), len(log_rms))
+        mel = mel[:, :min_l]
+
+        res = _rescale_durations(durs, phs, min_l)
+        if res is None:
+            return None
+        phs, durs = res
+
+        logf0 = np.log(np.nan_to_num(f0, nan=1e-8) + 1e-8)
+        logcent = np.log(cent + 1e-8)
+        s = self.stats
+        p, e, br, ro, bri = [], [], [], [], []
+        cur = 0
+        for d in durs:
+            sl = slice(cur, cur + d)
+            seg = logf0[sl]
+            voiced = seg[seg > -5]
+            p_val = (voiced.mean() - s["p_mean"]) / s["p_std"] if voiced.size else 0.0
+            p.append(np.clip(p_val, -2.5, 2.5))
+            e.append(np.clip((log_rms[sl].mean() - s["e_mean"]) / s["e_std"], -2.5, 2.5))
+            br.append(np.clip(1.0 - vprob[sl].mean(), 0.0, 0.8))
+            ro.append(np.clip(voiced.std() if voiced.size else 0.0, 0.0, 1.5))
+            bri.append(np.clip((logcent[sl].mean() - s["c_mean"]) / s["c_std"], -2.5, 2.5))
+            cur += d
+
+        path = os.path.join(self.cache_dir, f"u_{i:05d}.npz")
+        np.savez(
+            path,
+            phs=np.asarray(phs, dtype=object),
+            durs=np.asarray(durs, np.int32),
+            mel=mel.T.astype(np.float32),  # (T, n_mels) like the reference cache
+            pitch=np.asarray(p, np.float32),
+            energy=np.asarray(e, np.float32),
+            breath=np.asarray(br, np.float32),
+            rough=np.asarray(ro, np.float32),
+            bright=np.asarray(bri, np.float32),
+            allow_pickle=True,
+        )
+        return path, phs
+
+    def __len__(self):
+        return len(self.files)
+
+    def load_utterance(self, idx: int) -> dict:
+        u = np.load(self.files[idx], allow_pickle=True)
+        return {k: u[k] for k in u.files}

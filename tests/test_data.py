@@ -1,0 +1,133 @@
+"""Data pipeline: two-pass dataset build on synthetic wavs, duration
+rescaling edge cases, bucketed batching, prepper file plumbing."""
+
+import os
+
+import numpy as np
+import pytest
+
+from spev_tpu.data.dataset import SpevDataset, _rescale_durations
+from spev_tpu.data.batching import BucketBatcher, collate, train_val_split
+from spev_tpu.data.downloaders import prep_esd, process_single_speaker
+from spev_tpu.text.vocab import Vocab
+from spev_tpu.utils.wavio import read_wav, write_wav
+
+
+def _make_corpus(root, n=4, seconds=0.8):
+    rng = np.random.default_rng(0)
+    sr = 22050
+    os.makedirs(root, exist_ok=True)
+    texts = ["hello there", "speech test", "one two", "tiny voice"]
+    for i in range(n):
+        t = np.arange(int(seconds * sr)) / sr
+        f0 = 150 + 30 * i
+        y = 0.4 * np.sin(2 * np.pi * f0 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 3 * t))
+        y += 0.02 * rng.standard_normal(len(t))
+        write_wav(os.path.join(root, f"utt{i}.wav"), y.astype(np.float32), sr)
+        with open(os.path.join(root, f"utt{i}.txt"), "w") as f:
+            f.write(texts[i % len(texts)])
+
+
+def test_wavio_roundtrip(tmp_path):
+    y = (0.5 * np.sin(np.linspace(0, 100, 22050))).astype(np.float32)
+    p = str(tmp_path / "x.wav")
+    write_wav(p, y, 22050)
+    y2, sr = read_wav(p)
+    assert sr == 22050
+    np.testing.assert_allclose(y2, y, atol=1e-4)
+
+
+def test_rescale_durations_reference_semantics():
+    # exact-fit
+    assert _rescale_durations([2, 2], ["a", "b"], 4) == (["a", "b"], [2, 2])
+    # remainder to last phoneme: scale=2.5 → [2, 2], +1 remainder to last
+    phs, durs = _rescale_durations([1, 1], ["a", "b"], 5)
+    assert durs == [2, 3] and sum(durs) == 5
+    # trim from tail, dropping emptied phonemes
+    phs, durs = _rescale_durations([5, 1, 1], ["a", "b", "c"], 5)
+    assert sum(durs) == 5 and len(phs) == len(durs)
+    # zero total bails
+    assert _rescale_durations([0, 0], ["a", "b"], 4) is None
+
+
+@pytest.fixture(scope="module")
+def corpus_ds(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus"))
+    cache = str(tmp_path_factory.mktemp("cache"))
+    _make_corpus(root)
+    ds = SpevDataset(root, cache_dir=cache, g2p_backend="rules", stats_sample=4)
+    return ds
+
+
+def test_dataset_build(corpus_ds):
+    ds = corpus_ds
+    assert len(ds) == 4
+    assert {"p_mean", "p_std", "e_mean", "e_std", "c_mean", "c_std"} <= set(ds.stats)
+    # vocab is the sorted union; with espeak-style char tokens the space
+    # character sorts before '<PAD>' — same as the reference (SURVEY §2.2)
+    assert "<PAD>" in ds.vocab and ds.vocab == sorted(ds.vocab)
+    u = ds.load_utterance(0)
+    assert u["mel"].shape[1] == 80
+    assert int(np.asarray(u["durs"]).sum()) == u["mel"].shape[0]
+    assert len(u["phs"]) == len(u["durs"]) == len(u["pitch"])
+    # targets respect the clip contract
+    assert np.all(u["breath"] >= 0) and np.all(u["breath"] <= 0.8)
+    assert np.all(np.abs(u["pitch"]) <= 2.5)
+    assert np.all(u["rough"] >= 0) and np.all(u["rough"] <= 1.5)
+    assert u["mel"].min() >= -10 and u["mel"].max() <= 2
+
+
+def test_dataset_cache_reload(corpus_ds, tmp_path):
+    ds2 = SpevDataset("unused", cache_dir=corpus_ds.cache_dir)
+    assert ds2.files == corpus_ds.files
+    assert ds2.vocab == corpus_ds.vocab
+
+
+def test_bucket_batcher(corpus_ds):
+    vocab = Vocab(corpus_ds.vocab)
+    b = BucketBatcher(
+        corpus_ds, vocab, batch_size=2, phoneme_buckets=(64,), frame_buckets=(128,),
+    )
+    batches = list(b.epoch(0))
+    assert len(batches) == 2
+    for batch in batches:
+        assert batch["ids"].shape == (2, 64)
+        assert batch["mel"].shape == (2, 128, 80)
+        assert (batch["mel_lens"] > 0).all()
+        # log_durs matches reference formula on valid positions
+        valid = batch["durs"] > 0
+        np.testing.assert_allclose(
+            batch["log_durs"][valid], np.log(batch["durs"][valid] + 1), rtol=1e-6
+        )
+
+
+def test_train_val_split():
+    tr, va = train_val_split(100, 0.05, seed=1)
+    assert len(va) == 5 and len(tr) == 95 and not set(tr) & set(va)
+
+
+def test_process_single_speaker_lj_layout(tmp_path):
+    lj = tmp_path / "LJSpeech-1.1"
+    (lj / "wavs").mkdir(parents=True)
+    y = (0.3 * np.sin(np.linspace(0, 200, 8000))).astype(np.float32)
+    write_wav(str(lj / "wavs" / "LJ001-0001.wav"), y, 22050)
+    (lj / "metadata.csv").write_text("LJ001-0001|raw text|normalized text\n")
+    out = tmp_path / "pairs"
+    n = process_single_speaker(str(lj), str(out))
+    assert n == 1
+    assert (out / "LJ001-0001.wav").exists()
+    assert (out / "LJ001-0001.txt").read_text() == "normalized text"
+
+
+def test_prep_esd_layout(tmp_path):
+    esd = tmp_path / "esd"
+    spk = esd / "0001"
+    (spk / "Angry").mkdir(parents=True)
+    y = (0.2 * np.sin(np.linspace(0, 50, 4000))).astype(np.float32)
+    write_wav(str(spk / "Angry" / "0001_000351.wav"), y, 22050)
+    (spk / "0001.txt").write_text("0001_000351\tSome angry words\tAngry\n")
+    out = tmp_path / "pairs"
+    n = prep_esd(str(esd), str(out))
+    assert n == 1
+    assert (out / "0001_000351_angry.wav").exists()
+    assert (out / "0001_000351_angry.txt").read_text() == "Some angry words"
