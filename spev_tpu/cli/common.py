@@ -1,0 +1,79 @@
+"""Shared CLI plumbing: training loop driver and synthesis output writing."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def run_training(args, warmup_epochs: int = 0) -> None:
+    """Shared train driver for the real_metrics / spev_tts / spev_advanced
+    CLIs: dataset build → 95/5 split → bucketed batches → Trainer epochs
+    with validation, last/best checkpoints and test-inference probes."""
+    from spev_tpu.config import SpevConfig, ModelConfig, TrainConfig
+    from spev_tpu.data.batching import BucketBatcher, train_val_split
+    from spev_tpu.data.dataset import SpevDataset
+    from spev_tpu.diag import log_metrics, test_inference_probe
+    from spev_tpu.text.vocab import Vocab
+    from spev_tpu.train.trainer import Trainer
+
+    ds = SpevDataset(
+        args.data_dir,
+        textgrid_dir=getattr(args, "textgrid_dir", None),
+        cache_dir=getattr(args, "cache_dir", "cache_spev"),
+        force_rebuild=getattr(args, "force_rebuild", False),
+    )
+    vocab = Vocab(ds.vocab)
+    print(f"Dataset: {len(ds)} utterances, vocab {len(vocab)}")
+
+    cfg = SpevConfig(
+        model=ModelConfig(vocab_size=len(vocab)),
+        train=TrainConfig(
+            learning_rate=args.lr,
+            batch_size=args.batch_size,
+            grad_accum=getattr(args, "grad_accum", 1),
+            epochs=args.epochs,
+            warmup_epochs=warmup_epochs,
+        ),
+    )
+    tr_idx, va_idx = train_val_split(len(ds), cfg.train.val_fraction, seed=cfg.train.seed)
+    print(f"Dataset: {len(tr_idx)} Train, {len(va_idx)} Val")
+    train_b = BucketBatcher(ds, vocab, batch_size=cfg.train.batch_size, indices=tr_idx)
+    val_b = BucketBatcher(ds, vocab, batch_size=cfg.train.batch_size, indices=va_idx)
+
+    trainer = Trainer(
+        cfg, vocab, ds.stats,
+        ckpt_dir=os.path.join("checkpoints", args.name),
+        log_dir=os.path.join("logs", args.name),
+    )
+    if getattr(args, "resume", None):
+        print(f"Resuming from {args.resume}")
+        trainer.restore(args.resume)
+
+    for epoch in range(trainer.epoch, cfg.train.epochs):
+        metrics = trainer.train_epoch(train_b.epoch(epoch))
+        val_loss = trainer.validate(val_b.epoch(0))
+        log_metrics(trainer.log_dir, epoch, {**metrics, "val_mel": val_loss})
+        print(
+            f"Epoch {epoch + 1}: train {metrics['train_loss']:.4f} | val mel {val_loss:.4f}"
+        )
+        trainer.save("last")
+        if trainer.maybe_save_best(val_loss):
+            print(f"New best model saved (val {val_loss:.4f})")
+        if (epoch + 1) % 10 == 0:
+            test_inference_probe(trainer, log_dir=trainer.log_dir, epoch=epoch)
+
+
+def write_outputs(wav: np.ndarray, mel: np.ndarray, output: str, sr: int = 22050) -> None:
+    """Write the waveform and a mel PNG next to it (the reference's infer
+    behavior, ``spev_real_metrics.py:827-840``)."""
+    from spev_tpu.utils.wavio import write_wav
+    from spev_tpu.diag import save_mel_plot
+
+    write_wav(output, wav, sr)
+    print(f"Audio saved to {output}")
+    png = os.path.splitext(output)[0] + "_mel.png"
+    save_mel_plot(mel.T, png, title="Generated Mel Spectrogram")
+    print(f"Mel spectrogram saved to {png}")

@@ -1,0 +1,58 @@
+"""Reconstructed core CLI (the documented-but-absent ``spev_tts.py``,
+SURVEY.md §2.9): two-phase training (``--warmup_epochs`` trains duration
+only), inference with duration/pitch scales.  Console scripts:
+``spev-train`` (main) and ``spev-infer`` (inference_mode)."""
+
+from __future__ import annotations
+
+import argparse
+
+from spev_tpu.cli.common import run_training, write_outputs
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="spev-tts")
+    p.add_argument("--mode", type=str, default="train", choices=["train", "infer"])
+    p.add_argument("--data_dir", type=str, default="data/training_data")
+    p.add_argument("--textgrid_dir", type=str, default="data/textgrid_data")
+    p.add_argument("--hifigan_dir", type=str, default="hifi-gan")
+    p.add_argument("--name", type=str, default="spev_tts")
+    p.add_argument("--resume", type=str)
+    p.add_argument("--warmup_epochs", type=int, default=10,
+                   help="duration-only epochs before full training")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--checkpoint", type=str, default="checkpoints/spev_tts/best.spev")
+    p.add_argument("--text", type=str, default="Hello from SPEV.")
+    p.add_argument("--duration_scale", type=float, default=1.0)
+    p.add_argument("--pitch_scale", type=float, default=1.0)
+    p.add_argument("--output", type=str, default="output.wav")
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.mode == "train":
+        run_training(args, warmup_epochs=args.warmup_epochs)
+    else:
+        inference_mode(args)
+
+
+def inference_mode(args=None, argv=None) -> None:
+    if args is None:
+        args = build_parser().parse_args(argv)
+    from spev_tpu.infer.synthesis import infer_tts
+
+    wav, mel = infer_tts(
+        args.checkpoint,
+        args.text,
+        duration_scale=args.duration_scale,
+        pitch_scale=args.pitch_scale,
+        hifigan_dir=args.hifigan_dir,
+    )
+    write_outputs(wav, mel, args.output)
+
+
+if __name__ == "__main__":
+    main()
