@@ -237,7 +237,10 @@ class SpevDataset:
             json.dump({"files": self.files, "stats": self.stats, "vocab": self.vocab}, f)
 
     def _load(self, path: str) -> np.ndarray:
-        y, sr = read_wav(path)
+        # native C++ decoder when built (falls back to the Python reader)
+        from spev_tpu.utils import native
+
+        y, sr = native.read_wav(path)
         if sr != self.audio.sample_rate:
             y = resample_linear(y, sr, self.audio.sample_rate)
         return y
