@@ -24,12 +24,15 @@ import jax.numpy as jnp
 
 
 def build_graph():
+    from spev_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from spev_tpu.config import ModelConfig
     from spev_tpu.models import modules as nn_mod
     from spev_tpu.models.fastspeech2 import apply_fastspeech2, init_fastspeech2
     from spev_tpu.models.hifigan import HiFiGANConfig, apply_hifigan, init_hifigan
 
-    # serving precision: bf16 MXU passes (parity runs use 'highest')
+    # serving precision: bf16 MXU passes (parity-grade runs use 'high')
     nn_mod.set_matmul_precision("default")
 
     cfg = ModelConfig(vocab_size=128, max_phonemes=128, max_frames=768)

@@ -26,6 +26,9 @@ def _parser(temporal: bool) -> argparse.ArgumentParser:
 
 def _run(temporal: bool, argv=None) -> None:
     from spev_tpu.agents.embodied import EmbodiedAgent
+    from spev_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     args = _parser(temporal).parse_args(argv)
     agent = EmbodiedAgent(args.checkpoint, hifigan_dir=args.hifigan_dir, temporal=temporal)

@@ -124,6 +124,9 @@ def synthesize_advanced(args):
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from spev_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.mode == "train":
         run_training(args)
     else:

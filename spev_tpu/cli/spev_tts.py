@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    from spev_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.mode == "train":
         run_training(args, warmup_epochs=args.warmup_epochs)
     else:

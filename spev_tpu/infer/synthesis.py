@@ -85,20 +85,25 @@ class Synthesizer:
         self._graphs: Dict[tuple, callable] = {}
 
     # -- compiled graphs ----------------------------------------------------
+    #
+    # The acoustic model and vocoder are compiled separately: the acoustic
+    # graph (cheap) always runs at the largest frame bucket; the host then
+    # reads mel_len (the single device→host sync of a request) and
+    # dispatches the vocoder graph compiled for the smallest sufficient
+    # frame bucket — so a 40-frame utterance never pays for a 2048-frame
+    # Griffin-Lim/HiFi-GAN.  For fixed-shape batched serving use
+    # `synthesize_batch`, which fuses both at one static bucket.
 
-    def _graph(self, P: int, M: int):
-        """Fused acoustic+vocoder graph for bucket (P, M)."""
+    def _acoustic_graph(self, P: int, M: int):
         import dataclasses
 
-        key = (P, M, self.vocoder.is_neural)
+        key = ("ac", P, M)
         if key in self._graphs:
             return self._graphs[key]
         cfg = dataclasses.replace(self.model_cfg, max_phonemes=P, max_frames=M)
-        neural = self.vocoder.is_neural
-        gen = self.vocoder.generator
 
         @jax.jit
-        def run(params, voc_params, ids, lengths, breath, rough, bright, d, p, e):
+        def run(params, ids, lengths, breath, rough, bright, d, p, e):
             out = apply_fastspeech2(
                 params, cfg, ids, lengths,
                 target_breath=breath, target_rough=rough, target_bright=bright,
@@ -107,10 +112,28 @@ class Synthesizer:
             mel = out["mel_pred"]
             # reference pre-vocoder hygiene (``:776-781``)
             mel = jnp.clip(jnp.nan_to_num(mel, nan=-5.0), -10.0, 2.0)
-            if neural:
-                wav = apply_hifigan(voc_params, gen.cfg, mel, mel_len=out["mel_len"])
-            else:
-                wav = jax.vmap(
+            return mel, out["mel_len"]
+
+        self._graphs[key] = run
+        return run
+
+    def _vocoder_graph(self, M: int):
+        key = ("voc", M, self.vocoder.is_neural)
+        if key in self._graphs:
+            return self._graphs[key]
+        if self.vocoder.is_neural:
+            gen = self.vocoder.generator
+
+            @jax.jit
+            def run(voc_params, mel, mel_len):
+                return apply_hifigan(voc_params, gen.cfg, mel, mel_len=mel_len)
+
+        else:
+
+            @jax.jit
+            def run(voc_params, mel, mel_len):
+                del voc_params, mel_len
+                return jax.vmap(
                     lambda m: mel_to_audio(
                         jnp.exp(m).T,
                         sr=self.audio.sample_rate,
@@ -120,6 +143,30 @@ class Synthesizer:
                         fmax=self.audio.fmax,
                     )
                 )(mel)
+
+        self._graphs[key] = run
+        return run
+
+    def _fused_graph(self, P: int, M: int):
+        """Fully fused acoustic+HiFi-GAN graph at one static bucket — the
+        zero-sync batched serving path (bench.py shape)."""
+        import dataclasses
+
+        key = ("fused", P, M)
+        if key in self._graphs:
+            return self._graphs[key]
+        cfg = dataclasses.replace(self.model_cfg, max_phonemes=P, max_frames=M)
+        gen = self.vocoder.generator
+
+        @jax.jit
+        def run(params, voc_params, ids, lengths, breath, rough, bright, d, p, e):
+            out = apply_fastspeech2(
+                params, cfg, ids, lengths,
+                target_breath=breath, target_rough=rough, target_bright=bright,
+                d_control=d, p_control=p, e_control=e,
+            )
+            mel = jnp.clip(jnp.nan_to_num(out["mel_pred"], nan=-5.0), -10.0, 2.0)
+            wav = apply_hifigan(voc_params, gen.cfg, mel, mel_len=out["mel_len"])
             return wav, mel, out["mel_len"]
 
         self._graphs[key] = run
@@ -129,6 +176,40 @@ class Synthesizer:
 
     def phonemes_to_ids(self, phones) -> np.ndarray:
         return self.vocab.encode(phones, fallback=1)
+
+    def synthesize_batch(
+        self,
+        ids_batch: np.ndarray,
+        lengths: np.ndarray,
+        breath: Optional[np.ndarray] = None,
+        rough: Optional[np.ndarray] = None,
+        bright: Optional[np.ndarray] = None,
+        duration_scale: float = 1.0,
+        pitch_scale: float = 1.0,
+        energy_scale: float = 1.0,
+        frame_bucket: Optional[int] = None,
+    ):
+        """Batched zero-host-sync synthesis (HiFi-GAN only): ids (B, P) →
+        (wav (B, M·hop), mel (B, M, n_mels), mel_len (B,)) as device
+        arrays; slice per sample with mel_len on the host."""
+        if not self.vocoder.is_neural:
+            raise ValueError("synthesize_batch requires a HiFi-GAN vocoder")
+        B, P = ids_batch.shape
+        M = frame_bucket or self.frame_buckets[-1]
+        run = self._fused_graph(P, M)
+        full = lambda v: None if v is None else jnp.asarray(v)
+        return run(
+            self.params,
+            self.vocoder.generator.params,
+            jnp.asarray(ids_batch),
+            jnp.asarray(lengths, ),
+            full(breath),
+            full(rough),
+            full(bright),
+            jnp.float32(duration_scale),
+            jnp.float32(pitch_scale),
+            jnp.float32(energy_scale),
+        )
 
     def synthesize_ids(
         self,
@@ -144,7 +225,6 @@ class Synthesizer:
         """ids (n_ph,) → (waveform, log-mel (L, n_mels))."""
         n_ph = len(ids)
         P = pick_bucket(n_ph, self.phoneme_buckets)
-        M = frame_bucket or self.frame_buckets[-1]
 
         def ctl(v, default):
             arr = np.full((P,), 0.0, np.float32)
@@ -152,16 +232,8 @@ class Synthesizer:
             arr[:n_ph] = src
             return jnp.asarray(arr[None])
 
-        run = self._graph(P, M)
-        hop = (
-            self.vocoder.generator.cfg.hop_recovery
-            if self.vocoder.is_neural
-            else self.audio.hop_length
-        )
-        voc_params = self.vocoder.generator.params if self.vocoder.is_neural else {}
-        wav, mel, mel_len = run(
+        args = (
             self.params,
-            voc_params,
             jnp.asarray(pad_to_bucket(ids, P, self.vocab.pad_id)[None]),
             jnp.asarray([n_ph], jnp.int32),
             ctl(breath, 0.0) if breath is not None else None,
@@ -171,7 +243,30 @@ class Synthesizer:
             jnp.float32(pitch_scale),
             jnp.float32(energy_scale),
         )
-        L = int(mel_len[0])
+        # progressive bucket escalation: run at the smallest frame bucket
+        # and climb only when the length regulator saturated it — short
+        # requests never pay for (or compile) the largest graphs
+        buckets = [frame_bucket] if frame_bucket else list(self.frame_buckets)
+        for M_ac in buckets:
+            mel, mel_len = self._acoustic_graph(P, M_ac)(*args)
+            L = int(mel_len[0])  # the request's single host sync
+            if L < M_ac or M_ac == buckets[-1]:
+                break
+        M_voc = pick_bucket(L, self.frame_buckets)
+        # re-bucket the mel for the vocoder (floor padding ≈ silence; the
+        # HiFi-GAN path additionally masks by mel_len for exact parity)
+        mel_v = jnp.where(
+            (jnp.arange(M_voc) < mel_len[:, None])[..., None],
+            mel[:, :M_voc],
+            self.audio.mel_clip_min,
+        )
+        hop = (
+            self.vocoder.generator.cfg.hop_recovery
+            if self.vocoder.is_neural
+            else self.audio.hop_length
+        )
+        voc_params = self.vocoder.generator.params if self.vocoder.is_neural else {}
+        wav = self._vocoder_graph(M_voc)(voc_params, mel_v, mel_len)
         return np.asarray(wav[0, : L * hop]), np.asarray(mel[0, :L])
 
     def synthesize(

@@ -71,6 +71,11 @@ def griffin_lim(
     (``librosa.griffinlim`` defaults: n_iter=32, momentum=0.99, random
     phase init)."""
     T, F = magnitude.shape
+    # degenerate inputs (fewer frames than one analysis window of overlap)
+    # cannot be projected through ISTFT→STFT (reflect padding would exceed
+    # the signal); return silence of the requested length
+    if T * hop_length < n_fft:
+        return jnp.zeros((length if length is not None else hop_length * max(T - 1, 0),))
     key = jax.random.PRNGKey(seed)
     phase = jax.random.uniform(key, (T, F), minval=-np.pi, maxval=np.pi)
     ang_re, ang_im = jnp.cos(phase), jnp.sin(phase)

@@ -209,11 +209,20 @@ class Trainer:
         self.best_val = math.inf
         self.epoch = 0
 
-    def _get_step(self, variance_weight: float):
-        key = float(variance_weight)
+    def _get_step(self, variance_weight: float, batch: dict):
+        """One compiled step per (phase, phoneme-bucket, frame-bucket)."""
+        import dataclasses
+
+        P = int(batch["ids"].shape[1])
+        M = int(batch["mel"].shape[1])
+        key = (float(variance_weight), P, M)
         if key not in self._steps:
+            cfg = dataclasses.replace(
+                self.cfg,
+                model=dataclasses.replace(self.cfg.model, max_phonemes=P, max_frames=M),
+            )
             self._steps[key] = make_train_step(
-                self.cfg, self.mesh, self.state.params, variance_weight=key
+                cfg, self.mesh, self.state.params, variance_weight=float(variance_weight)
             )
         return self._steps[key]
 
@@ -222,10 +231,10 @@ class Trainer:
         aggregate metrics.  Raises RuntimeError when the NaN budget is
         exhausted (reference ``:569-571``)."""
         vw = 0.0 if self.epoch < self.cfg.train.warmup_epochs else 1.0
-        step = self._get_step(vw)
         total, n = 0.0, 0
         last_metrics = {}
         for batch in batches:
+            step = self._get_step(vw, batch)
             self.rng, drop = jax.random.split(self.rng)
             self.state, metrics = step(self.state, batch, drop)
             skipped = float(metrics["skipped"])
@@ -244,12 +253,25 @@ class Trainer:
         out["train_loss"] = total / max(n, 1)
         return out
 
-    def validate(self, batches: Iterable[dict]) -> float:
+    def _get_eval_step(self, batch: dict):
+        import dataclasses
+
+        P = int(batch["ids"].shape[1])
+        M = int(batch["mel"].shape[1])
         if self._eval_step is None:
-            self._eval_step = make_eval_step(self.cfg, self.mesh, self.state.params)
+            self._eval_step = {}
+        if (P, M) not in self._eval_step:
+            cfg = dataclasses.replace(
+                self.cfg,
+                model=dataclasses.replace(self.cfg.model, max_phonemes=P, max_frames=M),
+            )
+            self._eval_step[(P, M)] = make_eval_step(cfg, self.mesh, self.state.params)
+        return self._eval_step[(P, M)]
+
+    def validate(self, batches: Iterable[dict]) -> float:
         tot, aux, n = 0.0, 0.0, 0
         for batch in batches:
-            m = self._eval_step(self.state.params, batch)
+            m = self._get_eval_step(batch)(self.state.params, batch)
             v = float(m["val_mel"])
             if math.isfinite(v):
                 tot += v
