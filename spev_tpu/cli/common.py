@@ -54,7 +54,7 @@ def run_training(args, warmup_epochs: int = 0) -> None:
 
     for epoch in range(trainer.epoch, cfg.train.epochs):
         metrics = trainer.train_epoch(train_b.epoch(epoch))
-        val_loss = trainer.validate(val_b.epoch(0))
+        val_loss = trainer.validate(val_b.epoch(0), save_plot_epoch=epoch)
         log_metrics(trainer.log_dir, epoch, {**metrics, "val_mel": val_loss})
         print(
             f"Epoch {epoch + 1}: train {metrics['train_loss']:.4f} | val mel {val_loss:.4f}"

@@ -45,7 +45,11 @@ def collate(
         "rough": np.zeros((B, max_phonemes), np.float32),
         "bright": np.zeros((B, max_phonemes), np.float32),
     }
+    if any("speaker_id" in u for u in utterances):
+        out["speaker_ids"] = np.zeros((B,), np.int32)
     for b, u in enumerate(utterances):
+        if "speaker_ids" in out and "speaker_id" in u:
+            out["speaker_ids"][b] = int(u["speaker_id"])
         phs = [str(p) for p in u["phs"]]
         n = len(phs)
         t = int(u["mel"].shape[0])

@@ -168,9 +168,14 @@ class SpevDataset:
         stats_sample: int = 500,
         min_samples: int = 4000,
         seed: int = 1234,
+        multi_speaker: bool = False,
     ):
+        """multi_speaker: derive a speaker label from each basename's prefix
+        before the first '_' (the LibriTTS-R convention; SURVEY.md §2.7
+        multi-speaker stretch) and store per-utterance speaker indices."""
         self.audio = audio
         self.cache_dir = cache_dir
+        self.multi_speaker = multi_speaker
         meta_path = os.path.join(cache_dir, "metadata.json")
 
         if force_rebuild and os.path.exists(cache_dir):
@@ -183,6 +188,7 @@ class SpevDataset:
             self.files = meta["files"]
             self.stats = meta["stats"]
             self.vocab = meta["vocab"]
+            self.speakers = meta.get("speakers", [])
             return
 
         fx = FeatureExtractor(audio)
@@ -220,7 +226,9 @@ class SpevDataset:
 
         # ---- pass 2: per-file features ------------------------------------
         vocab_set = set(SPECIALS)
+        speaker_set = set()
         self.files = []
+        entries = []
         for i, wav_path in enumerate(wavs):
             try:
                 entry = self._process_file(i, wav_path, textgrid_dir, fx, g2p, min_samples)
@@ -231,10 +239,24 @@ class SpevDataset:
             path, phs = entry
             vocab_set.update(phs)
             self.files.append(path)
+            if multi_speaker:
+                spk = os.path.basename(wav_path).split("_")[0]
+                speaker_set.add(spk)
+                entries.append((path, spk))
 
         self.vocab = sorted(vocab_set)
+        self.speakers = sorted(speaker_set)
+        if multi_speaker:
+            spk_to_id = {s: i for i, s in enumerate(self.speakers)}
+            for path, spk in entries:
+                with np.load(path, allow_pickle=True) as u:
+                    data = {k: u[k] for k in u.files}
+                data.pop("allow_pickle", None)
+                data["speaker_id"] = np.int32(spk_to_id[spk])
+                np.savez(path, **data)
         with open(meta_path, "w") as f:
-            json.dump({"files": self.files, "stats": self.stats, "vocab": self.vocab}, f)
+            json.dump({"files": self.files, "stats": self.stats, "vocab": self.vocab,
+                       "speakers": self.speakers}, f)
 
     def _load(self, path: str) -> np.ndarray:
         # native C++ decoder when built (falls back to the Python reader)
@@ -312,7 +334,6 @@ class SpevDataset:
             breath=np.asarray(br, np.float32),
             rough=np.asarray(ro, np.float32),
             bright=np.asarray(bri, np.float32),
-            allow_pickle=True,
         )
         return path, phs
 
@@ -321,4 +342,4 @@ class SpevDataset:
 
     def load_utterance(self, idx: int) -> dict:
         u = np.load(self.files[idx], allow_pickle=True)
-        return {k: u[k] for k in u.files}
+        return {k: u[k] for k in u.files if k != "allow_pickle"}

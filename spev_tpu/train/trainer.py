@@ -73,17 +73,18 @@ def make_optimizer(cfg: SpevConfig) -> optax.GradientTransformation:
 
 
 def init_train_state(key, cfg: SpevConfig) -> TrainState:
-    params = init_fastspeech2(key, cfg.model)
+    if cfg.model.n_speakers > 1 or cfg.model.use_vad:
+        from spev_tpu.models.advanced import init_advanced
+
+        params = init_advanced(key, cfg.model)
+    else:
+        params = init_fastspeech2(key, cfg.model)
     opt = make_optimizer(cfg)
     return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
 
 
 def _loss_fn(params, cfg: SpevConfig, batch, rng, variance_weight: float):
-    outputs = apply_fastspeech2(
-        params,
-        cfg.model,
-        batch["ids"],
-        batch["lens"],
+    kw = dict(
         target_durations=batch["durs"],
         target_pitch=batch["pitch"],
         target_energy=batch["energy"],
@@ -93,6 +94,16 @@ def _loss_fn(params, cfg: SpevConfig, batch, rng, variance_weight: float):
         dropout_rng=rng,
         deterministic=rng is None,
     )
+    if "speaker_ids" in batch and "advanced" in params:
+        # multi-speaker training routes through the advanced wrapper
+        from spev_tpu.models.advanced import apply_advanced
+
+        outputs = apply_advanced(
+            params, cfg.model, batch["ids"], batch["lens"],
+            speaker_ids=batch["speaker_ids"], **kw,
+        )
+    else:
+        outputs = apply_fastspeech2(params, cfg.model, batch["ids"], batch["lens"], **kw)
     return compute_losses(outputs, batch, cfg.train, variance_weight)
 
 
@@ -102,6 +113,7 @@ def make_train_step(
     params_example,
     variance_weight: float = 1.0,
     use_dropout: bool = True,
+    batch_keys=None,
 ) -> Callable:
     """Build the jitted, sharded train step.
 
@@ -141,8 +153,9 @@ def make_train_step(
         opt_state=jax.tree.map(lambda _: rep, opt.init(params_example)),
         step=rep,
     )
-    batch_keys = ("ids", "lens", "durs", "mel", "mel_lens", "log_durs",
-                  "pitch", "energy", "breath", "rough", "bright")
+    if batch_keys is None:
+        batch_keys = ("ids", "lens", "durs", "mel", "mel_lens", "log_durs",
+                      "pitch", "energy", "breath", "rough", "bright")
     batch_sh = {k: b_sh for k in batch_keys}
     return jax.jit(
         step_fn,
@@ -152,21 +165,44 @@ def make_train_step(
     )
 
 
-def make_eval_step(cfg: SpevConfig, mesh, params_example) -> Callable:
+def make_eval_step(cfg: SpevConfig, mesh, params_example, batch_keys=None) -> Callable:
     """Jitted validation step: reference validate() computes the plain mel L1
     plus pitch+energy aux MSE (``spev_real_metrics.py:619-654``)."""
     p_sh = param_shardings(mesh, params_example)
     b_sh = batch_sharding(mesh)
 
     def eval_fn(params, batch):
-        _, metrics = _loss_fn(params, cfg, batch, None, 1.0)
+        kw = dict(
+            target_durations=batch["durs"],
+            target_pitch=batch["pitch"],
+            target_energy=batch["energy"],
+            target_breath=batch["breath"],
+            target_rough=batch["rough"],
+            target_bright=batch["bright"],
+        )
+        if "speaker_ids" in batch and "advanced" in params:
+            from spev_tpu.models.advanced import apply_advanced
+
+            outputs = apply_advanced(
+                params, cfg.model, batch["ids"], batch["lens"],
+                speaker_ids=batch["speaker_ids"], **kw,
+            )
+        else:
+            outputs = apply_fastspeech2(params, cfg.model, batch["ids"], batch["lens"], **kw)
+        _, metrics = compute_losses(outputs, batch, cfg.train, 1.0)
         return {
             "val_mel": metrics["l_mel"],
             "val_aux": metrics["l_pitch"] + metrics["l_energy"],
+            # first sample's mel pair for the per-epoch comparison plot
+            # (reference ``spev_real_metrics.py:646-649``)
+            "mel_pred_0": outputs["mel_pred"][0],
+            "mel_target_0": batch["mel"][0],
+            "mel_len_0": batch["mel_lens"][0],
         }
 
-    batch_keys = ("ids", "lens", "durs", "mel", "mel_lens", "log_durs",
-                  "pitch", "energy", "breath", "rough", "bright")
+    if batch_keys is None:
+        batch_keys = ("ids", "lens", "durs", "mel", "mel_lens", "log_durs",
+                      "pitch", "energy", "breath", "rough", "bright")
     return jax.jit(eval_fn, in_shardings=(p_sh, {k: b_sh for k in batch_keys}),
                    out_shardings=None)
 
@@ -222,7 +258,9 @@ class Trainer:
                 model=dataclasses.replace(self.cfg.model, max_phonemes=P, max_frames=M),
             )
             self._steps[key] = make_train_step(
-                cfg, self.mesh, self.state.params, variance_weight=float(variance_weight)
+                cfg, self.mesh, self.state.params,
+                variance_weight=float(variance_weight),
+                batch_keys=tuple(sorted(batch)),
             )
         return self._steps[key]
 
@@ -265,18 +303,29 @@ class Trainer:
                 self.cfg,
                 model=dataclasses.replace(self.cfg.model, max_phonemes=P, max_frames=M),
             )
-            self._eval_step[(P, M)] = make_eval_step(cfg, self.mesh, self.state.params)
+            self._eval_step[(P, M)] = make_eval_step(
+                cfg, self.mesh, self.state.params, batch_keys=tuple(sorted(batch))
+            )
         return self._eval_step[(P, M)]
 
-    def validate(self, batches: Iterable[dict]) -> float:
+    def validate(self, batches: Iterable[dict], save_plot_epoch: Optional[int] = None) -> float:
         tot, aux, n = 0.0, 0.0, 0
-        for batch in batches:
+        for i, batch in enumerate(batches):
             m = self._get_eval_step(batch)(self.state.params, batch)
             v = float(m["val_mel"])
             if math.isfinite(v):
                 tot += v
                 aux += float(m["val_aux"])
                 n += 1
+            if i == 0 and save_plot_epoch is not None:
+                from spev_tpu.diag.plots import save_comparison_plot
+
+                L = int(m["mel_len_0"])
+                save_comparison_plot(
+                    np.asarray(m["mel_target_0"])[:L].T,
+                    np.asarray(m["mel_pred_0"])[:L].T,
+                    os.path.join(self.log_dir, f"val_{save_plot_epoch}.png"),
+                )
         return tot / max(n, 1)
 
     def save(self, name: str = "last") -> str:
