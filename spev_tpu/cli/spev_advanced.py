@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--arousal", type=float, default=0.0, help="-1..1")
     p.add_argument("--dominance", type=float, default=0.0, help="-1..1")
     # physiology
+    p.add_argument("--speaker", type=int, default=None,
+                   help="speaker id (multi-speaker checkpoints)")
     p.add_argument("--age", type=float, default=25.0)
     p.add_argument("--lung_capacity", type=float, default=1.0, help="0-1")
     # expression
@@ -98,6 +100,7 @@ def synthesize_advanced(args):
         duration_vec = None
 
     ids = synth.phonemes_to_ids(phones)
+    has_advanced = isinstance(synth.params, dict) and "advanced" in synth.params
     wav, mel = synth.synthesize_ids(
         ids,
         breath=breath,
@@ -106,6 +109,8 @@ def synthesize_advanced(args):
         duration_scale=duration_scale if duration_vec is None else duration_scale * 1.0,
         pitch_scale=pitch_scale,
         energy_scale=energy_scale,
+        speaker_id=args.speaker if has_advanced else None,
+        vad=(args.valence, args.arousal, args.dominance) if has_advanced else None,
     )
 
     # documented mel-domain DSP effects, then re-vocode if any are active

@@ -103,12 +103,19 @@ class Synthesizer:
         cfg = dataclasses.replace(self.model_cfg, max_phonemes=P, max_frames=M)
 
         @jax.jit
-        def run(params, ids, lengths, breath, rough, bright, d, p, e):
-            out = apply_fastspeech2(
-                params, cfg, ids, lengths,
+        def run(params, ids, lengths, breath, rough, bright, d, p, e,
+                speaker_ids=None, vad=None):
+            kw = dict(
                 target_breath=breath, target_rough=rough, target_bright=bright,
                 d_control=d, p_control=p, e_control=e,
             )
+            if speaker_ids is not None or vad is not None:
+                from spev_tpu.models.advanced import apply_advanced
+
+                out = apply_advanced(params, cfg, ids, lengths,
+                                     speaker_ids=speaker_ids, vad=vad, **kw)
+            else:
+                out = apply_fastspeech2(params, cfg, ids, lengths, **kw)
             mel = out["mel_pred"]
             # reference pre-vocoder hygiene (``:776-781``)
             mel = jnp.clip(jnp.nan_to_num(mel, nan=-5.0), -10.0, 2.0)
@@ -221,8 +228,13 @@ class Synthesizer:
         pitch_scale: float = 1.0,
         energy_scale: float = 1.0,
         frame_bucket: Optional[int] = None,
+        speaker_id: Optional[int] = None,
+        vad: Optional[Sequence[float]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """ids (n_ph,) → (waveform, log-mel (L, n_mels))."""
+        """ids (n_ph,) → (waveform, log-mel (L, n_mels)).
+
+        speaker_id / vad engage the advanced model's learned conditioning
+        (requires an advanced checkpoint with the corresponding tables)."""
         n_ph = len(ids)
         P = pick_bucket(n_ph, self.phoneme_buckets)
 
@@ -242,6 +254,8 @@ class Synthesizer:
             jnp.float32(duration_scale),
             jnp.float32(pitch_scale),
             jnp.float32(energy_scale),
+            jnp.asarray([speaker_id], jnp.int32) if speaker_id is not None else None,
+            jnp.asarray([list(vad)], jnp.float32) if vad is not None else None,
         )
         # progressive bucket escalation: run at the smallest frame bucket
         # and climb only when the length regulator saturated it — short

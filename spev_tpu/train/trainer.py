@@ -125,11 +125,65 @@ def make_train_step(
     rep = replicated(mesh)
     b_sh = batch_sharding(mesh)
 
+    accum = max(1, int(cfg.train.grad_accum))
+
     def step_fn(state: TrainState, batch: dict, rng) -> tuple[TrainState, dict]:
         drop_rng = rng if use_dropout else None
-        (loss, metrics), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
-            state.params, cfg, batch, drop_rng, variance_weight
-        )
+        if accum == 1:
+            (loss, metrics), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
+                state.params, cfg, batch, drop_rng, variance_weight
+            )
+        else:
+            # gradient accumulation: split the batch into `accum` micro
+            # batches and average grads over the finite ones via lax.scan
+            # (reference semantics: loss/accum per micro-batch, one
+            # optimizer step per window; non-finite micro-batches are
+            # excluded rather than poisoning the window — docs/PARITY.md #5)
+            def micro(b, i):
+                return jax.tree.map(lambda x: x[i] if x.ndim >= 1 else x, b)
+
+            B = batch["ids"].shape[0]
+            mb = B // accum
+            stacked = jax.tree.map(
+                lambda x: x[: mb * accum].reshape((accum, mb) + x.shape[1:]), batch
+            )
+            rngs = (
+                jax.random.split(drop_rng, accum) if drop_rng is not None else [None] * accum
+            )
+
+            have_rng = use_dropout and drop_rng is not None
+
+            def body(carry, xs):
+                gsum, lsum, msum, nok = carry
+                mb_batch, r = xs
+                (l, m), g = jax.value_and_grad(_loss_fn, has_aux=True)(
+                    state.params, cfg, mb_batch, r if have_rng else None, variance_weight
+                )
+                finite = jnp.isfinite(l)
+                ff = finite.astype(jnp.float32)
+                gsum = jax.tree.map(lambda a, b: a + jnp.where(finite, b, 0.0), gsum, g)
+                lsum = lsum + jnp.where(finite, l, 0.0)
+                msum = jax.tree.map(lambda a, b: a + jnp.where(finite, b, 0.0), msum, m)
+                return (gsum, lsum, msum, nok + ff), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+            # metric accumulator structure from an abstract evaluation
+            _, m_template = jax.eval_shape(
+                lambda p: _loss_fn(p, cfg, micro(stacked, 0), None, variance_weight),
+                state.params,
+            )
+            zero_m = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), m_template)
+            (gsum, lsum, msum, nok), _ = jax.lax.scan(
+                body,
+                (zero_g, jnp.zeros(()), zero_m, jnp.zeros(())),
+                (stacked, jnp.stack(rngs) if drop_rng is not None else jnp.zeros((accum,))),
+            )
+            denom = jnp.maximum(nok, 1.0)
+            grads = jax.tree.map(lambda g: g / denom, gsum)
+            loss = lsum / denom
+            metrics = jax.tree.map(lambda m: m / denom, msum)
+            # window with zero finite micro-batches must be skipped
+            loss = jnp.where(nok > 0, loss, jnp.nan)
         gnorm = optax.global_norm(grads)
         ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
         okf = ok.astype(jnp.float32)

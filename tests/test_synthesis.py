@@ -112,3 +112,87 @@ def test_synthesizer_curve_controls(tmp_path, tiny_gen):
         bright_curve=np.linspace(-1.0, 0.5, n),
     )
     assert np.isfinite(wav).all() and mel.shape[0] > 0
+
+
+def test_synthesizer_from_reference_pt_checkpoint(tmp_path):
+    """Serving straight from a reference-format torch .pt checkpoint."""
+    torch = pytest.importorskip("torch")
+    import sys
+    sys.path.insert(0, "tests")
+    from test_parity_torch import TorchTwin, VOCAB, H as TH
+
+    torch.manual_seed(5)
+    twin = TorchTwin().eval()
+    # lift the duration constant so the inference path emits frames
+    sd = twin.state_dict()
+    sd["duration_predictor.output_norm.bias"] = torch.tensor([1.5])
+    vocab = sorted(set([chr(c) for c in range(ord("a"), ord("a") + VOCAB - 3)])
+                   | {"<PAD>", "<UNK>", "<SIL>"})
+    path = str(tmp_path / "ref.pt")
+    torch.save({"model": sd, "vocab": vocab, "stats": {"p_mean": 0.0}}, path)
+
+    from spev_tpu.config import ModelConfig
+
+    cfg = ModelConfig(vocab_size=VOCAB, embed_dim=TH, hidden_dim=TH, n_mels=8)
+    synth = Synthesizer(path, hifigan_dir=None, model_cfg=cfg, g2p_backend="rules",
+                        phoneme_buckets=(64,), frame_buckets=(256,))
+    ids = synth.phonemes_to_ids(synth.g2p.phonemes("pt checkpoint"))
+    # n_mels=8 Griffin-Lim isn't meaningful; check the acoustic path only
+    import jax.numpy as jnp
+    from spev_tpu.text.vocab import pad_to_bucket
+
+    mel, mel_len = synth._acoustic_graph(64, 256)(
+        synth.params, jnp.asarray(pad_to_bucket(ids, 64)[None]),
+        jnp.asarray([len(ids)], jnp.int32), None, None, None,
+        jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0),
+    )
+    assert int(mel_len[0]) > 1
+    assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_export_reference_checkpoint_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    import jax
+    from spev_tpu.config import ModelConfig
+    from spev_tpu.models.fastspeech2 import init_fastspeech2
+    from spev_tpu.train.checkpoint import export_reference_checkpoint, import_reference_checkpoint
+
+    cfg = ModelConfig(vocab_size=17, embed_dim=16, hidden_dim=16, n_mels=8)
+    params = init_fastspeech2(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "export.pt")
+    export_reference_checkpoint(path, params, vocab=["<PAD>", "a"], stats={"p_mean": 1.0},
+                                step=7, epoch=3)
+    params2, vocab, stats, step, epoch = import_reference_checkpoint(path)
+    assert vocab == ["<PAD>", "a"] and step == 7 and epoch == 3
+    import numpy as np
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_speaker_conditioned_synthesis(tmp_path, tiny_gen):
+    import jax
+    import jax.numpy as jnp
+    from spev_tpu.config import ModelConfig
+    from spev_tpu.models.advanced import init_advanced
+    from spev_tpu.train.checkpoint import save_checkpoint
+
+    vocab = _vocab()
+    cfg = ModelConfig(vocab_size=len(vocab), embed_dim=32, hidden_dim=32,
+                      n_mels=NMEL, n_speakers=3)
+    params = init_advanced(jax.random.PRNGKey(0), cfg)
+    params["duration_predictor"]["output_norm"]["bias"] = jnp.asarray([1.2])
+    # amplify the speaker table so outputs differ measurably
+    params["advanced"]["speaker_embedding"]["weight"] = (
+        params["advanced"]["speaker_embedding"]["weight"] * 100.0
+    )
+    path = str(tmp_path / "spk.spev")
+    save_checkpoint(path, params, vocab=vocab.symbols, stats={})
+    synth = Synthesizer(path, model_cfg=cfg, g2p_backend="rules",
+                        phoneme_buckets=(64,), frame_buckets=(256,))
+    synth.vocoder = Vocoder(generator=tiny_gen)
+    ids = synth.phonemes_to_ids(synth.g2p.phonemes("speaker test"))
+    _, mel0 = synth.synthesize_ids(ids, speaker_id=0)
+    _, mel1 = synth.synthesize_ids(ids, speaker_id=1)
+    assert mel0.shape[1] == NMEL
+    assert not np.allclose(mel0[: min(len(mel0), len(mel1))],
+                           mel1[: min(len(mel0), len(mel1))])
