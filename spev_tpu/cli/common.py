@@ -63,6 +63,9 @@ def run_training(args, warmup_epochs: int = 0) -> None:
         if trainer.maybe_save_best(val_loss):
             print(f"New best model saved (val {val_loss:.4f})")
         if (epoch + 1) % 10 == 0:
+            # documented reference variant: numbered checkpoints every 10
+            # epochs (README.md:157) + synthesis probes
+            trainer.save(f"ckpt_{epoch + 1}")
             test_inference_probe(trainer, log_dir=trainer.log_dir, epoch=epoch)
 
 

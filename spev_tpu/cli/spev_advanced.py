@@ -88,16 +88,16 @@ def synthesize_advanced(args):
         np.full((n,), knobs["brightness"] - 0.8 * args.nasality), -2.5, 2.5
     ).astype(np.float32)
 
-    emphasis = None
+    # word emphasis scales duration/pitch/energy per phoneme (documented
+    # spev_advanced semantics, PRODUCTION_SYSTEM_SUMMARY.md:95-99)
+    emphasis_vec = None
     if args.word_emphasis.strip():
         scales = parse_emphasis(args.word_emphasis)
         per_word = synth.g2p.phonemes_per_word(args.text)
         emphasis = word_emphasis_to_phonemes(scales, per_word)
+        emphasis_vec = np.ones((n,), np.float32)
         m = min(len(emphasis), n)
-        duration_vec = np.ones((n,), np.float32)
-        duration_vec[:m] = emphasis[:m]
-    else:
-        duration_vec = None
+        emphasis_vec[:m] = emphasis[:m]
 
     ids = synth.phonemes_to_ids(phones)
     has_advanced = isinstance(synth.params, dict) and "advanced" in synth.params
@@ -106,9 +106,9 @@ def synthesize_advanced(args):
         breath=breath,
         rough=rough,
         bright=bright,
-        duration_scale=duration_scale if duration_vec is None else duration_scale * 1.0,
-        pitch_scale=pitch_scale,
-        energy_scale=energy_scale,
+        duration_scale=duration_scale if emphasis_vec is None else duration_scale * emphasis_vec,
+        pitch_scale=pitch_scale if emphasis_vec is None else pitch_scale * emphasis_vec,
+        energy_scale=energy_scale if emphasis_vec is None else energy_scale * emphasis_vec,
         speaker_id=args.speaker if has_advanced else None,
         vad=(args.valence, args.arousal, args.dominance) if has_advanced else None,
     )

@@ -224,17 +224,19 @@ class Synthesizer:
         breath: Optional[np.ndarray] = None,
         rough: Optional[np.ndarray] = None,
         bright: Optional[np.ndarray] = None,
-        duration_scale: float = 1.0,
-        pitch_scale: float = 1.0,
-        energy_scale: float = 1.0,
+        duration_scale=1.0,
+        pitch_scale=1.0,
+        energy_scale=1.0,
         frame_bucket: Optional[int] = None,
         speaker_id: Optional[int] = None,
         vad: Optional[Sequence[float]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """ids (n_ph,) → (waveform, log-mel (L, n_mels)).
 
-        speaker_id / vad engage the advanced model's learned conditioning
-        (requires an advanced checkpoint with the corresponding tables)."""
+        duration/pitch/energy scales may be scalars or per-phoneme (n_ph,)
+        vectors (the word-emphasis path).  speaker_id / vad engage the
+        advanced model's learned conditioning (requires an advanced
+        checkpoint with the corresponding tables)."""
         n_ph = len(ids)
         P = pick_bucket(n_ph, self.phoneme_buckets)
 
@@ -244,6 +246,15 @@ class Synthesizer:
             arr[:n_ph] = src
             return jnp.asarray(arr[None])
 
+        def scale(v):
+            # scalar stays scalar (trace-friendly); a vector pads to the
+            # bucket (padded positions 0 -> zero duration there)
+            if np.ndim(v) == 0:
+                return jnp.float32(v)
+            arr = np.zeros((P,), np.float32)
+            arr[:n_ph] = np.asarray(v, np.float32)[:n_ph]
+            return jnp.asarray(arr[None])
+
         args = (
             self.params,
             jnp.asarray(pad_to_bucket(ids, P, self.vocab.pad_id)[None]),
@@ -251,9 +262,9 @@ class Synthesizer:
             ctl(breath, 0.0) if breath is not None else None,
             ctl(rough, 0.0) if rough is not None else None,
             ctl(bright, 0.0) if bright is not None else None,
-            jnp.float32(duration_scale),
-            jnp.float32(pitch_scale),
-            jnp.float32(energy_scale),
+            scale(duration_scale),
+            scale(pitch_scale),
+            scale(energy_scale),
             jnp.asarray([speaker_id], jnp.int32) if speaker_id is not None else None,
             jnp.asarray([list(vad)], jnp.float32) if vad is not None else None,
         )
@@ -282,6 +293,43 @@ class Synthesizer:
         voc_params = self.vocoder.generator.params if self.vocoder.is_neural else {}
         wav = self._vocoder_graph(M_voc)(voc_params, mel_v, mel_len)
         return np.asarray(wav[0, : L * hop]), np.asarray(mel[0, :L])
+
+    def synthesize_many(
+        self,
+        texts: Sequence[str],
+        batch_size: int = 16,
+        frame_bucket: Optional[int] = None,
+        **controls,
+    ):
+        """Batched long-form synthesis over a transcript set (the reference
+        BASELINE's batched-eval configuration): texts are phonemized,
+        grouped by phoneme bucket, run through the fused zero-sync batched
+        graph (HiFi-GAN) or the per-request path (Griffin-Lim), and
+        returned as a list of (waveform, mel) in input order."""
+        phones = [self.g2p.phonemes(t) for t in texts]
+        ids_list = [self.phonemes_to_ids(p) for p in phones]
+        results: list = [None] * len(texts)
+        if not self.vocoder.is_neural:
+            for i, ids in enumerate(ids_list):
+                results[i] = self.synthesize_ids(ids, **controls)
+            return results
+
+        hop = self.vocoder.generator.cfg.hop_recovery
+        M = frame_bucket or self.frame_buckets[-1]
+        order = sorted(range(len(texts)), key=lambda i: len(ids_list[i]))
+        for start in range(0, len(order), batch_size):
+            group = order[start : start + batch_size]
+            P = pick_bucket(max(len(ids_list[i]) for i in group), self.phoneme_buckets)
+            ids_b = np.stack([pad_to_bucket(ids_list[i], P, self.vocab.pad_id) for i in group])
+            lens = np.asarray([len(ids_list[i]) for i in group], np.int32)
+            wav, mel, mel_len = self.synthesize_batch(
+                ids_b, lens, frame_bucket=M, **controls
+            )
+            wav, mel, mel_len = np.asarray(wav), np.asarray(mel), np.asarray(mel_len)
+            for row, i in enumerate(group):
+                L = int(mel_len[row])
+                results[i] = (wav[row, : L * hop], mel[row, :L])
+        return results
 
     def synthesize(
         self,

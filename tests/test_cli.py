@@ -100,3 +100,23 @@ def test_advanced_infer_path_end_to_end(tiny_ckpt, monkeypatch):
     )
     wav, mel = synthesize_advanced(args)
     assert np.isfinite(wav).all() and mel.shape[0] >= 1
+
+
+def test_word_emphasis_extends_audio(tiny_ckpt, monkeypatch):
+    """Emphasis >1 on a word must lengthen its phonemes' durations."""
+    path, cfg = tiny_ckpt
+    import spev_tpu.infer.synthesis as S
+
+    orig = S.Synthesizer
+
+    def patched(checkpoint, hifigan_dir=None, **kw):
+        return orig(checkpoint, hifigan_dir=None, model_cfg=cfg, g2p_backend="rules",
+                    phoneme_buckets=(64,), frame_buckets=(256,))
+
+    monkeypatch.setattr("spev_tpu.infer.synthesis.Synthesizer", patched)
+    base_args = ["--mode", "infer", "--checkpoint", path, "--text", "hello there friend"]
+    _, mel_plain = synthesize_advanced(adv_parser().parse_args(base_args))
+    _, mel_emph = synthesize_advanced(
+        adv_parser().parse_args(base_args + ["--word_emphasis", "3.0,3.0,3.0"])
+    )
+    assert mel_emph.shape[0] > mel_plain.shape[0]

@@ -196,3 +196,20 @@ def test_speaker_conditioned_synthesis(tmp_path, tiny_gen):
     assert mel0.shape[1] == NMEL
     assert not np.allclose(mel0[: min(len(mel0), len(mel1))],
                            mel1[: min(len(mel0), len(mel1))])
+
+
+def test_synthesize_many_batched(tmp_path, tiny_gen):
+    vocab = _vocab()
+    path, cfg = _make_ckpt(tmp_path, vocab)
+    synth = Synthesizer(path, model_cfg=cfg, g2p_backend="rules",
+                        phoneme_buckets=(64,), frame_buckets=(256,))
+    synth.vocoder = Vocoder(generator=tiny_gen)
+    texts = ["one two", "a much longer line of text here", "mid length text"]
+    results = synth.synthesize_many(texts, batch_size=2)
+    assert len(results) == 3
+    hop = tiny_gen.cfg.hop_recovery
+    for wav, mel in results:
+        assert wav.shape[0] == mel.shape[0] * hop
+        assert np.isfinite(wav).all()
+    # longer text must not come back shorter than the shortest
+    assert results[1][1].shape[0] >= results[0][1].shape[0]
