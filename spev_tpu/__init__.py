@@ -26,5 +26,29 @@ __all__ = [
     "ModelConfig",
     "TrainConfig",
     "SpevConfig",
+    "Synthesizer",
+    "EmbodiedAgent",
+    "Trainer",
+    "infer_tts",
     "__version__",
 ]
+
+
+def __getattr__(name):  # lazy top-level API (avoids importing jax at pkg import)
+    if name == "Synthesizer":
+        from spev_tpu.infer.synthesis import Synthesizer
+
+        return Synthesizer
+    if name == "infer_tts":
+        from spev_tpu.infer.synthesis import infer_tts
+
+        return infer_tts
+    if name == "EmbodiedAgent":
+        from spev_tpu.agents.embodied import EmbodiedAgent
+
+        return EmbodiedAgent
+    if name == "Trainer":
+        from spev_tpu.train.trainer import Trainer
+
+        return Trainer
+    raise AttributeError(name)

@@ -99,6 +99,11 @@ class ModelConfig:
     # nasality control channel (documented spev_advanced surface)
     use_nasality: bool = False
 
+    # rematerialize FFT blocks in the backward pass (jax.checkpoint):
+    # trades ~30% more FLOPs for not keeping the decoder's 2048-frame
+    # attention activations live — enables long-sequence/batch training
+    remat: bool = False
+
     # static-shape buckets (TPU compilation contract; not part of reference
     # numerics — padding is masked out everywhere)
     max_phonemes: int = 256

@@ -213,8 +213,12 @@ def apply_fastspeech2(
     def next_rng():
         return next(rngs) if rngs is not None else None
 
+    block_fn = _fft_block
+    if cfg.remat:
+        block_fn = jax.checkpoint(_fft_block, static_argnums=(2, 5))
+
     for block in params["encoder_blocks"]:
-        x = _fft_block(block, x, cfg, src_mask, next_rng(), deterministic)
+        x = block_fn(block, x, cfg, src_mask, next_rng(), deterministic)
 
     if encoder_bias is not None:
         x = jnp.where(src_mask[..., None], 0.0, x + encoder_bias)
@@ -302,7 +306,7 @@ def apply_fastspeech2(
     )
 
     for block in params["decoder_blocks"]:
-        dec = _fft_block(block, dec, cfg, frame_mask, next_rng(), deterministic)
+        dec = block_fn(block, dec, cfg, frame_mask, next_rng(), deterministic)
 
     mel = nn.linear(params["mel_linear"], dec)
     mel = jnp.clip(mel, *clamps.mel)  # (``:269``)

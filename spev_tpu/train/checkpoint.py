@@ -109,7 +109,8 @@ def export_reference_checkpoint(path: str, params, vocab, stats, step=0, epoch=0
     from spev_tpu.utils.torch_loader import fastspeech2_params_to_state_dict
 
     sd = {
-        k: torch.from_numpy(np.ascontiguousarray(v))
+        # copy=True: msgpack-restored arrays are read-only and torch warns
+        k: torch.from_numpy(np.array(v, copy=True))
         for k, v in fastspeech2_params_to_state_dict(jax.tree.map(np.asarray, params)).items()
     }
     torch.save(
