@@ -43,6 +43,12 @@ DEFAULT_FRAME_BUCKETS = (256, 512, 1024, 2048)
 
 def _load_any_checkpoint(path: str):
     """(params, vocab list, stats) from .spev or reference .pt."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"checkpoint not found: {path}\n"
+            "  train one first (spev-train / spev-real-metrics --mode train) "
+            "or pass a reference .pt checkpoint"
+        )
     if path.endswith(".spev"):
         from spev_tpu.train.checkpoint import load_params
 

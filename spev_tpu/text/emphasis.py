@@ -17,7 +17,18 @@ import numpy as np
 
 def parse_emphasis(spec: str) -> List[float]:
     """Parse the CLI string '1.0,1.5,...' into floats."""
-    return [float(x) for x in spec.split(",") if x.strip()]
+    out = []
+    for x in spec.split(","):
+        x = x.strip()
+        if not x:
+            continue
+        try:
+            out.append(float(x))
+        except ValueError:
+            raise ValueError(
+                f"--word_emphasis expects comma-separated numbers like '1.0,1.5,1.0'; got {x!r}"
+            ) from None
+    return out
 
 
 def word_emphasis_to_phonemes(

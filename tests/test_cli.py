@@ -120,3 +120,13 @@ def test_word_emphasis_extends_audio(tiny_ckpt, monkeypatch):
         adv_parser().parse_args(base_args + ["--word_emphasis", "3.0,3.0,3.0"])
     )
     assert mel_emph.shape[0] > mel_plain.shape[0]
+
+
+def test_friendly_errors():
+    from spev_tpu.infer.synthesis import _load_any_checkpoint
+    from spev_tpu.text.emphasis import parse_emphasis
+
+    with pytest.raises(FileNotFoundError, match="train one first"):
+        _load_any_checkpoint("/definitely/not/here.spev")
+    with pytest.raises(ValueError, match="comma-separated numbers"):
+        parse_emphasis("abc,,")

@@ -1,0 +1,73 @@
+"""HTTP serving endpoint: health check, synthesis request, error paths."""
+
+import json
+import threading
+import urllib.request
+import urllib.error
+import wave
+import io
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from http.server import ThreadingHTTPServer
+
+from spev_tpu.cli.serve import make_handler, _wav_bytes
+from spev_tpu.config import ModelConfig
+from spev_tpu.infer.synthesis import Synthesizer
+from spev_tpu.models.fastspeech2 import init_fastspeech2
+from spev_tpu.text.vocab import Vocab
+from spev_tpu.train.checkpoint import save_checkpoint
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    vocab = Vocab.build([chr(c) for c in range(ord("a"), ord("p"))] + [" "])
+    cfg = ModelConfig(vocab_size=len(vocab), embed_dim=32, hidden_dim=32, n_mels=80)
+    params = init_fastspeech2(jax.random.PRNGKey(0), cfg)
+    params["duration_predictor"]["output_norm"]["bias"] = jnp.asarray([1.2])
+    path = str(tmp_path_factory.mktemp("srv") / "m.spev")
+    save_checkpoint(path, params, vocab=vocab.symbols, stats={})
+    synth = Synthesizer(path, hifigan_dir=None, model_cfg=cfg, g2p_backend="rules",
+                        phoneme_buckets=(64,), frame_buckets=(256,))
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(synth, threading.Lock()))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz") as r:
+        data = json.loads(r.read())
+    assert data["status"] == "ok" and data["vocoder"] == "griffin-lim"
+
+
+def test_synthesize_returns_wav(server):
+    req = urllib.request.Request(
+        server + "/synthesize",
+        data=json.dumps({"text": "hello", "emotion": "excited"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        body = r.read()
+    with wave.open(io.BytesIO(body)) as w:
+        assert w.getframerate() == 22050
+        assert w.getnframes() > 0
+
+
+def test_missing_text_is_400(server):
+    req = urllib.request.Request(server + "/synthesize", data=b"{}",
+                                 headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+
+
+def test_unknown_path_404(server):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(server + "/nope")
+    assert e.value.code == 404
