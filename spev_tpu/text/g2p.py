@@ -11,10 +11,11 @@ plus a standalone fallback:
 2. ``cmudict`` — the documented spev_tts frontend (``README.md:47,265-268``):
    CMU Pronouncing Dictionary → ARPABET tokens with stress digits; OOV words
    map to ``<SIL>``.  Used when a cmudict file is available.
-3. ``rules`` — a built-in deterministic English letter-to-sound ruleset
-   emitting espeak-style IPA characters, so the framework synthesizes with
-   zero external G2P dependencies.  It is intentionally simple (context
-   digraph rules + letter defaults); for production quality install espeak.
+3. ``rules`` — a built-in deterministic English frontend: a ~200-entry
+   high-frequency lexicon (`spev_tpu.text.lexicon`, covering the irregular
+   words that dominate running text) backed by letter-to-sound digraph
+   rules, emitting espeak-style IPA characters — the framework synthesizes
+   with zero external G2P dependencies.  For maximum quality install espeak.
 
 ``backend='auto'`` picks the best available in the order above.
 """
@@ -93,6 +94,14 @@ _NUM_WORDS = {
 
 def _rules_word_to_ipa(word: str) -> str:
     w = word.lower()
+    from spev_tpu.text.lexicon import LEXICON
+
+    if w in LEXICON:
+        return LEXICON[w]
+    if w.endswith("'s") and w[:-2] in LEXICON:
+        return LEXICON[w[:-2]] + "z"
+    if w.endswith("s") and w[:-1] in LEXICON:
+        return LEXICON[w[:-1]] + "z"
     out = []
     i = 0
     while i < len(w):
