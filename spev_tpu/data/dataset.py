@@ -50,25 +50,48 @@ from spev_tpu.utils.wavio import read_wav, resample_linear
 _SIG_BUCKET = 8192
 
 
-class FeatureExtractor:
-    """Jitted per-signal DSP with signal-length bucketing."""
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
-    def __init__(self, audio: AudioConfig = AudioConfig()):
+
+class FeatureExtractor:
+    """Jitted per-signal DSP with signal-length bucketing.
+
+    use_pallas: 'auto' (fused Pallas log-mel kernel on TPU — ~9× the XLA
+    path — XLA elsewhere), True, or False."""
+
+    def __init__(self, audio: AudioConfig = AudioConfig(), use_pallas="auto"):
         self.audio = audio
         self._full = {}
         self._stats_fn = {}
+        self.use_pallas = _on_tpu() if use_pallas == "auto" else bool(use_pallas)
+
+    def _mel_fn(self, a):
+        if self.use_pallas:
+            from spev_tpu.ops.pallas.kernels import fused_log_mel
+
+            return lambda y: fused_log_mel(
+                y, sr=a.sample_rate, n_fft=a.n_fft, hop_length=a.hop_length,
+                n_mels=a.n_mels, fmin=0.0, fmax=a.sample_rate / 2,
+                floor=a.mel_floor, clip_min=a.mel_clip_min, clip_max=a.mel_clip_max,
+            )
+        return lambda y: log_mel_spectrogram(
+            y, sr=a.sample_rate, n_fft=a.n_fft, hop_length=a.hop_length,
+            n_mels=a.n_mels, fmin=0.0, fmax=a.sample_rate / 2,
+            floor=a.mel_floor, clip_min=a.mel_clip_min, clip_max=a.mel_clip_max,
+        )
 
     def _get_full(self, n: int):
         if n not in self._full:
             a = self.audio
+            mel_fn = self._mel_fn(a)
 
             @jax.jit
             def run(y):
-                mel = log_mel_spectrogram(
-                    y, sr=a.sample_rate, n_fft=a.n_fft, hop_length=a.hop_length,
-                    n_mels=a.n_mels, fmin=0.0, fmax=a.sample_rate / 2,
-                    floor=a.mel_floor, clip_min=a.mel_clip_min, clip_max=a.mel_clip_max,
-                )
+                mel = mel_fn(y)
                 f0, _, vprob = yin_f0(
                     y, sr=a.sample_rate, fmin=a.f0_min, fmax=a.f0_max, hop_length=a.hop_length
                 )
