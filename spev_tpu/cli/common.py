@@ -8,7 +8,7 @@ from typing import Optional
 import numpy as np
 
 
-def run_training(args, warmup_epochs: int = 0) -> None:
+def run_training(args, warmup_epochs: int = 0, model_overrides: Optional[dict] = None) -> None:
     """Shared train driver for the real_metrics / spev_tts / spev_advanced
     CLIs: dataset build → 95/5 split → bucketed batches → Trainer epochs
     with validation, last/best checkpoints and test-inference probes."""
@@ -29,7 +29,7 @@ def run_training(args, warmup_epochs: int = 0) -> None:
     print(f"Dataset: {len(ds)} utterances, vocab {len(vocab)}")
 
     cfg = SpevConfig(
-        model=ModelConfig(vocab_size=len(vocab)),
+        model=ModelConfig(vocab_size=len(vocab), **(model_overrides or {})),
         train=TrainConfig(
             learning_rate=args.lr,
             batch_size=args.batch_size,

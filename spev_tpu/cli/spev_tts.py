@@ -20,6 +20,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", type=str)
     p.add_argument("--warmup_epochs", type=int, default=10,
                    help="duration-only epochs before full training")
+    p.add_argument("--reference_predictors", action="store_true",
+                   help="keep the reference's LayerNorm(1) constant-output "
+                        "variance predictors (checkpoint-parity mode); by "
+                        "default this CLI trains functional per-phoneme "
+                        "predictors (vp_output_norm=False)")
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -37,7 +42,11 @@ def main(argv=None) -> None:
 
     enable_compilation_cache()
     if args.mode == "train":
-        run_training(args, warmup_epochs=args.warmup_epochs)
+        run_training(
+            args,
+            warmup_epochs=args.warmup_epochs,
+            model_overrides=None if args.reference_predictors else {"vp_output_norm": False},
+        )
     else:
         inference_mode(args)
 

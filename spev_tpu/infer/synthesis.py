@@ -72,17 +72,27 @@ class Synthesizer:
         phoneme_buckets: Sequence[int] = DEFAULT_PHONEME_BUCKETS,
         frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
     ):
+        stored_cfg = {}
         if isinstance(checkpoint, tuple):
             params, vocab, stats = checkpoint
         else:
             params, vocab, stats = _load_any_checkpoint(checkpoint)
+            from spev_tpu.train.checkpoint import load_model_config
+
+            if checkpoint.endswith(".spev"):
+                stored_cfg = load_model_config(checkpoint)
         self.params = jax.tree.map(jnp.asarray, params)
         self.vocab = Vocab(vocab)
         self.stats = stats
         self.audio = audio
         import dataclasses
 
-        base = model_cfg or ModelConfig()
+        if model_cfg is None and stored_cfg:
+            # reconstruct the architecture the checkpoint was trained with
+            base = ModelConfig(**{k: v for k, v in stored_cfg.items()
+                                  if k in ModelConfig.__dataclass_fields__})
+        else:
+            base = model_cfg or ModelConfig()
         self.model_cfg = dataclasses.replace(base, vocab_size=len(self.vocab))
         self.g2p = G2P(g2p_backend)
         self.vocoder = Vocoder(hifigan_dir, audio=audio)

@@ -21,7 +21,11 @@ import jax.numpy as jnp
 from flax import serialization
 
 
-def save_checkpoint(path, params, opt_state=None, step=0, epoch=0, vocab=None, stats=None):
+def save_checkpoint(path, params, opt_state=None, step=0, epoch=0, vocab=None, stats=None,
+                    model_config=None):
+    """model_config: dict of ModelConfig fields (architecture + behavior
+    switches like vp_output_norm) so consumers reconstruct the right graph
+    without out-of-band knowledge."""
     payload = {
         "model": serialization.to_state_dict(jax.tree.map(np.asarray, params)),
         "optimizer": (
@@ -34,6 +38,7 @@ def save_checkpoint(path, params, opt_state=None, step=0, epoch=0, vocab=None, s
             "epoch": int(epoch),
             "vocab": list(vocab) if vocab is not None else [],
             "stats": {k: float(v) for k, v in (stats or {}).items()},
+            "model_config": dict(model_config) if model_config else None,
         },
     }
     blob = serialization.msgpack_serialize(payload)
@@ -67,6 +72,25 @@ def load_params(path) -> Tuple[Any, list, dict]:
     ckpt = load_checkpoint(path)
     meta = ckpt["meta"]
     return _relistify(ckpt["model"]), list(meta["vocab"]), dict(meta["stats"])
+
+
+def load_model_config(path) -> dict:
+    """Stored ModelConfig field dict ({} for older/reference checkpoints)."""
+    if not path.endswith(".spev"):
+        return {}
+    meta = load_checkpoint(path)["meta"]
+    return dict(meta.get("model_config") or {})
+
+
+def model_config_dict(model_cfg) -> dict:
+    """Serializable subset of ModelConfig (drops the nested clamp contract,
+    which is constant, and the bucket fields, which are serving-time)."""
+    import dataclasses
+
+    d = dataclasses.asdict(model_cfg)
+    for k in ("clamps", "max_phonemes", "max_frames"):
+        d.pop(k, None)
+    return d
 
 
 def load_checkpoint_into(path, state) -> Tuple[Any, int]:

@@ -383,7 +383,7 @@ class Trainer:
         return tot / max(n, 1)
 
     def save(self, name: str = "last") -> str:
-        from spev_tpu.train.checkpoint import save_checkpoint
+        from spev_tpu.train.checkpoint import model_config_dict, save_checkpoint
 
         path = os.path.join(self.ckpt_dir, f"{name}.spev")
         save_checkpoint(
@@ -394,6 +394,7 @@ class Trainer:
             epoch=self.epoch,
             vocab=list(self.vocab.symbols) if hasattr(self.vocab, "symbols") else list(self.vocab),
             stats=self.stats,
+            model_config=model_config_dict(self.cfg.model),
         )
         return path
 

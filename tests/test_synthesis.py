@@ -213,3 +213,26 @@ def test_synthesize_many_batched(tmp_path, tiny_gen):
         assert np.isfinite(wav).all()
     # longer text must not come back shorter than the shortest
     assert results[1][1].shape[0] >= results[0][1].shape[0]
+
+
+def test_checkpoint_carries_model_config(tmp_path):
+    """A checkpoint trained with non-default architecture (tiny dims,
+    functional predictors) must serve without manual config plumbing."""
+    import dataclasses
+    from spev_tpu.config import ModelConfig
+    from spev_tpu.models.fastspeech2 import init_fastspeech2
+    from spev_tpu.train.checkpoint import model_config_dict, save_checkpoint
+
+    vocab = _vocab()
+    cfg = ModelConfig(vocab_size=len(vocab), embed_dim=32, hidden_dim=32,
+                      n_mels=NMEL, vp_output_norm=False)
+    params = init_fastspeech2(jax.random.PRNGKey(3), cfg)
+    path = str(tmp_path / "cfgd.spev")
+    save_checkpoint(path, params, vocab=vocab.symbols, stats={},
+                    model_config=model_config_dict(cfg))
+    synth = Synthesizer(path, hifigan_dir=None, g2p_backend="rules",
+                        phoneme_buckets=(64,), frame_buckets=(256,))
+    assert synth.model_cfg.hidden_dim == 32
+    assert synth.model_cfg.vp_output_norm is False
+    wav, mel = synth.synthesize("config test", duration_scale=2.0)
+    assert np.isfinite(wav).all()
