@@ -1,0 +1,147 @@
+"""HiFi-GAN adversarial training (the vocoder the reference could only
+download, now trainable/fine-tunable in-framework).
+
+Losses per the HiFi-GAN paper (PAPERS.md):
+
+    L_D = Σ_k (1 − D_k(y))² + D_k(ŷ)²                       (LSGAN)
+    L_G = Σ_k (1 − D_k(ŷ))² + 2·L_FM + 45·L_mel
+    L_FM = Σ_k Σ_l ‖f_l(y) − f_l(ŷ)‖₁ (mean)
+    L_mel = ‖mel(y) − mel(ŷ)‖₁        (framework log-mel kernels)
+
+Optimizers: AdamW(2e-4, β=(0.8, 0.99)) with 0.999 exponential LR decay per
+epoch — the upstream recipe.  Fine-tuning mode (the ``LJ_FT`` workflow)
+simply initializes the generator from an imported checkpoint and trains on
+(acoustic-model mel, ground-truth audio) pairs.
+
+Both update steps are single jitted graphs with the same masked NaN-skip
+policy as the acoustic trainer; data parallelism comes from the same mesh
+shardings.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from spev_tpu.config import AudioConfig
+from spev_tpu.models.hifigan import HiFiGANConfig, apply_hifigan, init_hifigan
+from spev_tpu.models.hifigan_disc import apply_discriminators, init_discriminators
+from spev_tpu.ops.stft import log_mel_spectrogram
+
+
+class VocoderTrainState(NamedTuple):
+    gen_params: Any
+    disc_params: Any
+    gen_opt: Any
+    disc_opt: Any
+    step: jnp.ndarray
+
+
+def make_vocoder_optimizer(lr: float = 2e-4, decay: float = 0.999, decay_every: int = 1000):
+    sched = optax.exponential_decay(lr, transition_steps=decay_every, decay_rate=decay)
+    return optax.adamw(sched, b1=0.8, b2=0.99, weight_decay=0.01)
+
+
+def init_vocoder_train_state(
+    key, cfg: HiFiGANConfig, gen_params=None
+) -> VocoderTrainState:
+    """gen_params: pass imported upstream params to fine-tune (the LJ_FT
+    workflow); None trains from scratch."""
+    kg, kd = jax.random.split(key)
+    gen = gen_params if gen_params is not None else init_hifigan(kg, cfg)
+    disc = init_discriminators(kd)
+    return VocoderTrainState(
+        gen_params=gen,
+        disc_params=disc,
+        gen_opt=make_vocoder_optimizer().init(gen),
+        disc_opt=make_vocoder_optimizer().init(disc),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _mel_l1(a: jnp.ndarray, b: jnp.ndarray, audio: AudioConfig) -> jnp.ndarray:
+    f = lambda y: log_mel_spectrogram(
+        y, sr=audio.sample_rate, n_fft=audio.n_fft, hop_length=audio.hop_length,
+        n_mels=audio.n_mels, fmin=0.0, fmax=audio.sample_rate / 2,
+    )
+    ma = jax.vmap(f)(a)
+    mb = jax.vmap(f)(b)
+    return jnp.mean(jnp.abs(ma - mb))
+
+
+def make_vocoder_train_step(
+    cfg: HiFiGANConfig,
+    audio: AudioConfig = AudioConfig(),
+    fm_weight: float = 2.0,
+    mel_weight: float = 45.0,
+) -> Callable:
+    """step(state, mel (B,T,M), wav (B,T·hop)) → (state, metrics).
+
+    One jitted graph updating D then G on the same batch (upstream order).
+    """
+    opt = make_vocoder_optimizer()
+
+    def d_loss_fn(disc_params, real, fake):
+        outs_r = apply_discriminators(disc_params, real)
+        outs_f = apply_discriminators(disc_params, fake)
+        loss = 0.0
+        for (lr_, _), (lf, _) in zip(outs_r, outs_f):
+            loss = loss + jnp.mean((1.0 - lr_) ** 2) + jnp.mean(lf**2)
+        return loss
+
+    def g_loss_fn(gen_params, disc_params, mel, real):
+        fake = apply_hifigan(gen_params, cfg, mel)
+        outs_r = apply_discriminators(disc_params, real)
+        outs_f = apply_discriminators(disc_params, fake)
+        adv = 0.0
+        fm = 0.0
+        for (_, fr), (lf, ff) in zip(outs_r, outs_f):
+            adv = adv + jnp.mean((1.0 - lf) ** 2)
+            for a, b in zip(fr, ff):
+                fm = fm + jnp.mean(jnp.abs(a - b))
+        mel_l1 = _mel_l1(real, fake, audio)
+        total = adv + fm_weight * fm + mel_weight * mel_l1
+        return total, {"g_adv": adv, "g_fm": fm, "g_mel": mel_l1}
+
+    @jax.jit
+    def step(state: VocoderTrainState, mel, wav):
+        fake = apply_hifigan(state.gen_params, cfg, mel)
+        fake = jax.lax.stop_gradient(fake)
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params, wav, fake)
+        d_updates, d_opt = opt.update(d_grads, state.disc_opt, state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.gen_params, disc_params, mel, wav
+        )
+        g_updates, g_opt = opt.update(g_grads, state.gen_opt, state.gen_params)
+        gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+        ok = jnp.isfinite(d_loss) & jnp.isfinite(g_loss)
+        keep = lambda old, new: jax.tree.map(lambda o, n: jnp.where(ok, n, o), old, new)
+        new_state = VocoderTrainState(
+            gen_params=keep(state.gen_params, gen_params),
+            disc_params=keep(state.disc_params, disc_params),
+            gen_opt=keep(state.gen_opt, g_opt),
+            disc_opt=keep(state.disc_opt, d_opt),
+            step=state.step + ok.astype(jnp.int32),
+        )
+        metrics = {"d_loss": d_loss, "g_loss": g_loss,
+                   "skipped": 1.0 - ok.astype(jnp.float32), **aux}
+        return new_state, metrics
+
+    return step
+
+
+def save_generator(path: str, state: VocoderTrainState, cfg: HiFiGANConfig) -> None:
+    """Export the trained generator in the upstream {'generator': sd}
+    layout so the reference (and our Vocoder) can load it."""
+    from spev_tpu.train.checkpoint import save_checkpoint
+
+    save_checkpoint(path, state.gen_params, step=int(state.step),
+                    model_config={"hifigan": True, "resblock": cfg.resblock,
+                                  "upsample_rates": list(cfg.upsample_rates)})

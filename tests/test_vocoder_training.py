@@ -1,0 +1,91 @@
+"""HiFi-GAN adversarial training: discriminator shapes, loss composition,
+a few update steps improve the mel reconstruction on a fixed batch."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from spev_tpu.config import AudioConfig
+from spev_tpu.models.hifigan import HiFiGANConfig, apply_hifigan, init_hifigan
+from spev_tpu.models.hifigan_disc import (
+    MPD_PERIODS,
+    apply_discriminators,
+    apply_period_disc,
+    apply_scale_disc,
+    init_discriminators,
+    init_period_disc,
+    init_scale_disc,
+)
+from spev_tpu.train.vocoder_trainer import (
+    init_vocoder_train_state,
+    make_vocoder_train_step,
+)
+
+TINY = HiFiGANConfig(
+    resblock="2",
+    upsample_rates=(8, 8, 4),
+    upsample_kernel_sizes=(16, 16, 8),
+    upsample_initial_channel=16,
+    resblock_kernel_sizes=(3,),
+    resblock_dilation_sizes=((1, 2),),
+    num_mels=80,
+)
+
+
+def test_period_disc_shapes():
+    p = init_period_disc(jax.random.PRNGKey(0), 3)
+    wav = jnp.asarray(np.random.default_rng(0).standard_normal((2, 1024)).astype(np.float32))
+    logits, feats = apply_period_disc(p, wav)
+    assert logits.shape[0] == 2 and logits.shape[1] > 0
+    assert len(feats) == 6  # 4 convs + 2 post
+
+
+def test_scale_disc_shapes():
+    p = init_scale_disc(jax.random.PRNGKey(1))
+    wav = jnp.asarray(np.random.default_rng(1).standard_normal((2, 2048)).astype(np.float32))
+    logits, feats = apply_scale_disc(p, wav)
+    assert logits.shape[0] == 2 and len(feats) == 8
+
+
+def test_combined_discriminators():
+    params = init_discriminators(jax.random.PRNGKey(2), periods=(2, 3), n_scales=2)
+    wav = jnp.asarray(np.random.default_rng(2).standard_normal((1, 2048)).astype(np.float32))
+    outs = apply_discriminators(params, wav)
+    assert len(outs) == 4  # 2 periods + 2 scales
+    for logits, feats in outs:
+        assert np.isfinite(np.asarray(logits)).all()
+
+
+@pytest.mark.slow
+def test_vocoder_training_improves_mel():
+    audio = AudioConfig()
+    rng = np.random.default_rng(0)
+    T = 24  # mel frames -> 6144 samples
+    hop = TINY.hop_recovery
+    t = np.arange(T * hop) / audio.sample_rate
+    wav = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)[None]
+    from spev_tpu.ops.stft import log_mel_spectrogram
+
+    mel = np.asarray(
+        log_mel_spectrogram(jnp.asarray(wav[0]), fmax=audio.sample_rate / 2)
+    ).T[None, :T]
+
+    # small discriminators for the smoke test
+    state = init_vocoder_train_state(jax.random.PRNGKey(0), TINY)
+    state = state._replace(
+        disc_params=init_discriminators(jax.random.PRNGKey(1), periods=(2, 3), n_scales=2)
+    )
+    from spev_tpu.train.vocoder_trainer import make_vocoder_optimizer
+
+    state = state._replace(disc_opt=make_vocoder_optimizer().init(state.disc_params))
+    step = make_vocoder_train_step(TINY, audio)
+
+    mels_l1 = []
+    for i in range(4):
+        state, m = step(state, jnp.asarray(mel), jnp.asarray(wav))
+        assert float(m["skipped"]) == 0.0
+        mels_l1.append(float(m["g_mel"]))
+    assert int(state.step) == 4
+    assert all(np.isfinite(v) for v in mels_l1)
+    assert mels_l1[-1] < mels_l1[0]  # mel reconstruction improves
