@@ -1,0 +1,138 @@
+"""Vocoder (HiFi-GAN) training / fine-tuning CLI.
+
+    python -m spev_tpu.cli.vocoder --data_dir wavs/ --name voc_run \
+        [--finetune_from vocoder_checkpoints/LJ_FT_T2_V3] \
+        [--config v1|v3] [--steps 10000] [--batch_size 8] [--segment_frames 32]
+
+Trains on random fixed-length crops: (log-mel via the framework kernels,
+waveform) pairs.  ``--finetune_from`` seeds the generator from an upstream
+directory (config.json + g_*) — the LJ_FT workflow the reference could only
+download the result of.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import random
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="spev-vocoder-train")
+    p.add_argument("--data_dir", required=True, help="directory of wav files")
+    p.add_argument("--name", default="vocoder_run")
+    p.add_argument("--config", default="v1", choices=["v1", "v3", "tiny"],
+                   help="generator size (tiny = smoke-test scale)")
+    p.add_argument("--finetune_from", default=None,
+                   help="upstream HiFi-GAN dir (config.json + g_*) to fine-tune")
+    p.add_argument("--steps", type=int, default=10000)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--segment_frames", type=int, default=32,
+                   help="mel frames per training crop")
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--save_every", type=int, default=1000)
+    args = p.parse_args(argv)
+
+    from spev_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from spev_tpu.config import AudioConfig
+    from spev_tpu.data.dataset import FeatureExtractor
+    from spev_tpu.diag.metrics import log_metrics
+    from spev_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator
+    from spev_tpu.train.vocoder_trainer import (
+        init_vocoder_train_state,
+        make_vocoder_train_step,
+        save_generator,
+    )
+    from spev_tpu.utils import native
+
+    audio = AudioConfig()
+    hop = audio.hop_length
+    seg = args.segment_frames * hop
+
+    if args.finetune_from:
+        gen = HiFiGANGenerator.from_pretrained(args.finetune_from)
+        cfg, gen_params = gen.cfg, gen.params
+        print(f"fine-tuning from {args.finetune_from}")
+    else:
+        if args.config == "v1":
+            cfg = HiFiGANConfig()
+        elif args.config == "v3":
+            cfg = HiFiGANConfig.v3()
+        else:  # tiny smoke-test generator
+            cfg = HiFiGANConfig(
+                resblock="2", upsample_rates=(8, 8, 4), upsample_kernel_sizes=(16, 16, 8),
+                upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+                resblock_dilation_sizes=((1, 2),),
+            )
+        gen_params = None
+
+    wavs = sorted(glob.glob(os.path.join(args.data_dir, "**", "*.wav"), recursive=True))
+    if not wavs:
+        raise FileNotFoundError(f"no wavs under {args.data_dir}")
+    print(f"{len(wavs)} wavs; segment {seg} samples ({args.segment_frames} frames)")
+
+    fx = FeatureExtractor(audio)
+    rng = random.Random(0)
+    audio_cache = {}
+
+    def load(path):
+        if path not in audio_cache:
+            y, sr = native.read_wav(path)
+            if sr != audio.sample_rate:
+                from spev_tpu.utils.wavio import resample_linear
+
+                y = resample_linear(y, sr, audio.sample_rate)
+            audio_cache[path] = y
+        return audio_cache[path]
+
+    def batch():
+        wav_crops, mel_crops = [], []
+        while len(wav_crops) < args.batch_size:
+            y = load(rng.choice(wavs))
+            if len(y) < seg + hop:
+                continue
+            start = rng.randrange(0, len(y) - seg) // hop * hop
+            crop = y[start : start + seg]
+            mel = fx.full_features(crop)[0].T[: args.segment_frames]  # (T, n_mels)
+            if mel.shape[0] < args.segment_frames:
+                continue
+            wav_crops.append(crop)
+            mel_crops.append(mel)
+        return (
+            jnp.asarray(np.stack(mel_crops), jnp.float32),
+            jnp.asarray(np.stack(wav_crops), jnp.float32),
+        )
+
+    state = init_vocoder_train_state(jax.random.PRNGKey(0), cfg, gen_params=gen_params)
+    step = make_vocoder_train_step(cfg, audio)
+    ckpt_dir = os.path.join("checkpoints", args.name)
+    log_dir = os.path.join("logs", args.name)
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    for i in range(args.steps):
+        mel, wav = batch()
+        state, m = step(state, mel, wav)
+        if (i + 1) % args.log_every == 0:
+            print(
+                f"step {i + 1}: d={float(m['d_loss']):.3f} g={float(m['g_loss']):.3f} "
+                f"mel={float(m['g_mel']):.3f} skipped={int(float(m['skipped']))}"
+            )
+            log_metrics(log_dir, i + 1, {k: float(v) for k, v in m.items()})
+        if (i + 1) % args.save_every == 0 or i + 1 == args.steps:
+            path = os.path.join(ckpt_dir, f"gen_{i + 1:08d}.spev")
+            save_generator(path, state, cfg)
+            print(f"saved {path}")
+
+
+if __name__ == "__main__":
+    main()

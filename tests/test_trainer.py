@@ -186,3 +186,23 @@ def test_grad_accumulation_skips_nan_micro_batch():
     assert float(metrics["skipped"]) == 0.0
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_tensor_parallel_weights_actually_sharded():
+    """On a (data, model) mesh the FFN weights must be physically sharded
+    over the model axis (Megatron layout), not replicated."""
+    from spev_tpu.parallel.mesh import param_shardings
+    cfg = tiny_cfg()
+    mesh = make_mesh((4, 2), ("data", "model"))
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    shardings = param_shardings(mesh, state.params)
+    blk = shardings["encoder_blocks"][0]
+    # conv1 column-parallel: dim 0 sharded over model
+    assert blk["conv1"]["weight"].spec == jax.sharding.PartitionSpec("model")
+    # conv2 row-parallel: dim 1 sharded over model
+    assert blk["conv2"]["weight"].spec == jax.sharding.PartitionSpec(None, "model")
+    # place a param and check device shards are halves
+    w = jax.device_put(state.params["encoder_blocks"][0]["conv1"]["weight"],
+                       blk["conv1"]["weight"])
+    shard_rows = {s.data.shape[0] for s in w.addressable_shards}
+    assert shard_rows == {w.shape[0] // 2}
