@@ -33,6 +33,9 @@ def main(argv=None) -> None:
     p.add_argument("--segment_frames", type=int, default=32,
                    help="mel frames per training crop")
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--periods", type=str, default="2,3,5,7,11",
+                   help="MPD periods (fewer = faster compile/steps)")
+    p.add_argument("--scales", type=int, default=3, help="MSD scales")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--save_every", type=int, default=1000)
     args = p.parse_args(argv)
@@ -113,8 +116,10 @@ def main(argv=None) -> None:
             jnp.asarray(np.stack(wav_crops), jnp.float32),
         )
 
-    state = init_vocoder_train_state(jax.random.PRNGKey(0), cfg, gen_params=gen_params)
-    step = make_vocoder_train_step(cfg, audio)
+    periods = tuple(int(x) for x in args.periods.split(",") if x.strip())
+    state = init_vocoder_train_state(jax.random.PRNGKey(0), cfg, gen_params=gen_params,
+                                     periods=periods, n_scales=args.scales)
+    step = make_vocoder_train_step(cfg, audio, periods=periods)
     ckpt_dir = os.path.join("checkpoints", args.name)
     log_dir = os.path.join("logs", args.name)
     os.makedirs(ckpt_dir, exist_ok=True)

@@ -47,13 +47,15 @@ def make_vocoder_optimizer(lr: float = 2e-4, decay: float = 0.999, decay_every: 
 
 
 def init_vocoder_train_state(
-    key, cfg: HiFiGANConfig, gen_params=None
+    key, cfg: HiFiGANConfig, gen_params=None, periods=None, n_scales: int = 3
 ) -> VocoderTrainState:
     """gen_params: pass imported upstream params to fine-tune (the LJ_FT
     workflow); None trains from scratch."""
+    from spev_tpu.models.hifigan_disc import MPD_PERIODS
+
     kg, kd = jax.random.split(key)
     gen = gen_params if gen_params is not None else init_hifigan(kg, cfg)
-    disc = init_discriminators(kd)
+    disc = init_discriminators(kd, periods=periods or MPD_PERIODS, n_scales=n_scales)
     return VocoderTrainState(
         gen_params=gen,
         disc_params=disc,
@@ -78,16 +80,19 @@ def make_vocoder_train_step(
     audio: AudioConfig = AudioConfig(),
     fm_weight: float = 2.0,
     mel_weight: float = 45.0,
+    periods=None,
 ) -> Callable:
     """step(state, mel (B,T,M), wav (B,T·hop)) → (state, metrics).
 
-    One jitted graph updating D then G on the same batch (upstream order).
+    D and G updates are SEPARATE jitted graphs (upstream order preserved:
+    D on the detached fake first, then G against the updated D) — one
+    monolithic graph doubles compile time on TPU for no runtime benefit.
     """
     opt = make_vocoder_optimizer()
 
     def d_loss_fn(disc_params, real, fake):
-        outs_r = apply_discriminators(disc_params, real)
-        outs_f = apply_discriminators(disc_params, fake)
+        outs_r = apply_discriminators(disc_params, real, periods=periods)
+        outs_f = apply_discriminators(disc_params, fake, periods=periods)
         loss = 0.0
         for (lr_, _), (lf, _) in zip(outs_r, outs_f):
             loss = loss + jnp.mean((1.0 - lr_) ** 2) + jnp.mean(lf**2)
@@ -95,8 +100,8 @@ def make_vocoder_train_step(
 
     def g_loss_fn(gen_params, disc_params, mel, real):
         fake = apply_hifigan(gen_params, cfg, mel)
-        outs_r = apply_discriminators(disc_params, real)
-        outs_f = apply_discriminators(disc_params, fake)
+        outs_r = apply_discriminators(disc_params, real, periods=periods)
+        outs_f = apply_discriminators(disc_params, fake, periods=periods)
         adv = 0.0
         fm = 0.0
         for (_, fr), (lf, ff) in zip(outs_r, outs_f):
@@ -108,31 +113,42 @@ def make_vocoder_train_step(
         return total, {"g_adv": adv, "g_fm": fm, "g_mel": mel_l1}
 
     @jax.jit
-    def step(state: VocoderTrainState, mel, wav):
-        fake = apply_hifigan(state.gen_params, cfg, mel)
-        fake = jax.lax.stop_gradient(fake)
+    def d_step(state: VocoderTrainState, mel, wav):
+        fake = jax.lax.stop_gradient(apply_hifigan(state.gen_params, cfg, mel))
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params, wav, fake)
+        ok = jnp.isfinite(d_loss)
+        d_grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), d_grads)
         d_updates, d_opt = opt.update(d_grads, state.disc_opt, state.disc_params)
         disc_params = optax.apply_updates(state.disc_params, d_updates)
+        keep = lambda old, new: jax.tree.map(lambda o, n: jnp.where(ok, n, o), old, new)
+        return state._replace(
+            disc_params=keep(state.disc_params, disc_params),
+            disc_opt=keep(state.disc_opt, d_opt),
+        ), d_loss, ok
 
+    @jax.jit
+    def g_step(state: VocoderTrainState, mel, wav):
         (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.gen_params, disc_params, mel, wav
+            state.gen_params, state.disc_params, mel, wav
         )
+        ok = jnp.isfinite(g_loss)
+        g_grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), g_grads)
         g_updates, g_opt = opt.update(g_grads, state.gen_opt, state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, g_updates)
-
-        ok = jnp.isfinite(d_loss) & jnp.isfinite(g_loss)
         keep = lambda old, new: jax.tree.map(lambda o, n: jnp.where(ok, n, o), old, new)
-        new_state = VocoderTrainState(
+        return state._replace(
             gen_params=keep(state.gen_params, gen_params),
-            disc_params=keep(state.disc_params, disc_params),
             gen_opt=keep(state.gen_opt, g_opt),
-            disc_opt=keep(state.disc_opt, d_opt),
-            step=state.step + ok.astype(jnp.int32),
-        )
+        ), g_loss, aux, ok
+
+    def step(state: VocoderTrainState, mel, wav):
+        state, d_loss, d_ok = d_step(state, mel, wav)
+        state, g_loss, aux, g_ok = g_step(state, mel, wav)
+        ok = d_ok & g_ok
+        state = state._replace(step=state.step + ok.astype(jnp.int32))
         metrics = {"d_loss": d_loss, "g_loss": g_loss,
                    "skipped": 1.0 - ok.astype(jnp.float32), **aux}
-        return new_state, metrics
+        return state, metrics
 
     return step
 
