@@ -277,6 +277,8 @@ class SpevDataset:
                 data.pop("allow_pickle", None)
                 data["speaker_id"] = np.int32(spk_to_id[spk])
                 np.savez(path, **data)
+        # store basenames so the cache is relocatable / cwd-independent
+        self.files = [os.path.basename(p) for p in self.files]
         with open(meta_path, "w") as f:
             json.dump({"files": self.files, "stats": self.stats, "vocab": self.vocab,
                        "speakers": self.speakers}, f)
@@ -363,6 +365,13 @@ class SpevDataset:
     def __len__(self):
         return len(self.files)
 
+    def _resolve(self, entry: str) -> str:
+        # metadata stores basenames (portable across cwd); tolerate full
+        # paths from older caches
+        if os.path.exists(entry):
+            return entry
+        return os.path.join(self.cache_dir, os.path.basename(entry))
+
     def load_utterance(self, idx: int) -> dict:
-        u = np.load(self.files[idx], allow_pickle=True)
+        u = np.load(self._resolve(self.files[idx]), allow_pickle=True)
         return {k: u[k] for k in u.files if k != "allow_pickle"}
