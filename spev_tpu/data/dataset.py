@@ -32,7 +32,6 @@ import json
 import os
 import random
 import shutil
-from functools import lru_cache
 from typing import List, Optional
 
 import numpy as np
@@ -44,7 +43,7 @@ from spev_tpu.ops.features import rms_energy, spectral_centroid, yin_f0
 from spev_tpu.ops.stft import log_mel_spectrogram
 from spev_tpu.text.g2p import G2P
 from spev_tpu.text.textgrid import intervals_to_durations, phone_intervals
-from spev_tpu.text.vocab import SIL, SPECIALS
+from spev_tpu.text.vocab import SPECIALS
 from spev_tpu.utils.wavio import read_wav, resample_linear
 
 _SIG_BUCKET = 8192

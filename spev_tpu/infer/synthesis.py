@@ -22,7 +22,6 @@ auto-detected.
 from __future__ import annotations
 
 import os
-from functools import partial
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np

@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from spev_tpu.ops.stft import frame_signal, stft_power, hann_window
+from spev_tpu.ops.stft import frame_signal, stft_power
 
 
 def rms_energy(

@@ -19,7 +19,7 @@ directly (pjit is jit in modern JAX).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import jax

@@ -11,7 +11,6 @@ schema (import works without torch via
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any, Tuple
 

@@ -23,10 +23,8 @@ program:
 
 from __future__ import annotations
 
-import functools
 import math
 import os
-import time
 from typing import Any, Callable, Iterable, NamedTuple, Optional
 
 import numpy as np
