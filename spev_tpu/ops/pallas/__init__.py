@@ -10,8 +10,14 @@ the numerical ground truth the kernels are tested against):
   in HBM (the XLA path's gather-framing writes ~4× the signal).
 - `overlap_add`: windowed ISTFT overlap-add as per-block accumulation of
   the ≤ n_fft/hop shifted frame slices — replaces the XLA scatter-add.
+
+- `length_regulate_fused`: length regulation as a one-hot matmul on the
+  MXU, expanding the hidden states and all five variance tracks in one
+  VMEM pass (the XLA path is a gather on the scalar/vector units; the
+  reference needed six host loops).
 """
 
 from spev_tpu.ops.pallas.kernels import fused_log_mel, overlap_add
+from spev_tpu.ops.pallas.length_regulator_kernel import length_regulate_fused
 
-__all__ = ["fused_log_mel", "overlap_add"]
+__all__ = ["fused_log_mel", "overlap_add", "length_regulate_fused"]

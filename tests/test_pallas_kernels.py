@@ -52,3 +52,28 @@ def test_overlap_add_matches_istft():
     # istft trims n_fft//2 from both ends (center convention)
     trimmed = out[n_fft // 2 : n_fft // 2 + len(y)]
     np.testing.assert_allclose(trimmed, ref, atol=1e-4)
+
+
+def test_fused_length_regulator_matches_xla():
+    from spev_tpu.ops.length_regulator import length_regulate, length_regulate_feature
+    from spev_tpu.ops.pallas.length_regulator_kernel import length_regulate_fused
+
+    rng = np.random.default_rng(0)
+    B, T, H, F, M = 3, 16, 32, 5, 64
+    x = rng.standard_normal((B, T, H)).astype(np.float32)
+    feats = rng.standard_normal((B, T, F)).astype(np.float32)
+    durs = rng.integers(0, 5, size=(B, T)).astype(np.float32)
+    durs[1] = 0  # all-zero row -> one zero frame
+    durs[2, 3] = np.nan  # guard
+
+    xe_ref, len_ref = length_regulate(jnp.asarray(x), jnp.asarray(durs), M)
+    fe_ref = np.stack(
+        [np.asarray(length_regulate_feature(jnp.asarray(feats[..., i]), jnp.asarray(durs), M))
+         for i in range(F)], axis=-1,
+    )
+    xe, fe, lens = length_regulate_fused(
+        jnp.asarray(x), jnp.asarray(feats), jnp.asarray(durs), M, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(len_ref))
+    np.testing.assert_allclose(np.asarray(xe), np.asarray(xe_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fe), fe_ref, atol=1e-5)
