@@ -99,6 +99,11 @@ class ModelConfig:
     # nasality control channel (documented spev_advanced surface)
     use_nasality: bool = False
 
+    # use the Pallas fused length-regulation kernel (one-hot matmul on the
+    # MXU, hidden + all 5 variance tracks in one pass) instead of the XLA
+    # gather path.  Bit-exact; TPU only (inference/serving graphs).
+    use_pallas_lr: bool = False
+
     # rematerialize FFT blocks in the backward pass (jax.checkpoint):
     # trades ~30% more FLOPs for not keeping the decoder's 2048-frame
     # attention activations live — enables long-sequence/batch training

@@ -277,13 +277,25 @@ def apply_fastspeech2(
 
     M = cfg.max_frames
     guard = clamps.duration_guard_max
-    x_expanded, mel_len = length_regulate(x, durations, M, guard)
+    if cfg.use_pallas_lr:
+        # fused Pallas path: hidden + all five tracks in one kernel
+        from spev_tpu.ops.pallas.length_regulator_kernel import length_regulate_fused
 
-    pitch_f = length_regulate_feature(pitch, durations, M, guard)
-    energy_f = length_regulate_feature(energy, durations, M, guard)
-    breath_f = length_regulate_feature(breath, durations, M, guard)
-    rough_f = length_regulate_feature(rough, durations, M, guard)
-    bright_f = length_regulate_feature(bright, durations, M, guard)
+        feats = jnp.stack([pitch, energy, breath, rough, bright], axis=-1)
+        x_expanded, feats_f, mel_len = length_regulate_fused(
+            x, feats, durations, M, guard
+        )
+        pitch_f, energy_f, breath_f, rough_f, bright_f = (
+            feats_f[..., 0], feats_f[..., 1], feats_f[..., 2],
+            feats_f[..., 3], feats_f[..., 4],
+        )
+    else:
+        x_expanded, mel_len = length_regulate(x, durations, M, guard)
+        pitch_f = length_regulate_feature(pitch, durations, M, guard)
+        energy_f = length_regulate_feature(energy, durations, M, guard)
+        breath_f = length_regulate_feature(breath, durations, M, guard)
+        rough_f = length_regulate_feature(rough, durations, M, guard)
+        bright_f = length_regulate_feature(bright, durations, M, guard)
 
     # post-expansion clamps (``:239-243``)
     pitch_f = jnp.clip(pitch_f, *clamps.pitch_expanded)

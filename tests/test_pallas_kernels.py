@@ -77,3 +77,33 @@ def test_fused_length_regulator_matches_xla():
     np.testing.assert_array_equal(np.asarray(lens), np.asarray(len_ref))
     np.testing.assert_allclose(np.asarray(xe), np.asarray(xe_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(fe), fe_ref, atol=1e-5)
+
+
+def test_model_forward_with_pallas_lr_matches():
+    """cfg.use_pallas_lr must be output-identical to the gather path."""
+    import dataclasses
+    import jax
+    from spev_tpu.config import ModelConfig
+    from spev_tpu.models.fastspeech2 import apply_fastspeech2, init_fastspeech2
+    import spev_tpu.ops.pallas.length_regulator_kernel as lrk
+
+    # force interpret mode on CPU
+    orig = lrk.length_regulate_fused
+    lrk_interp = lambda *a, **k: orig(*a, **{**k, "interpret": True}) if "interpret" not in k else orig(*a, **k)
+
+    cfg = ModelConfig(vocab_size=19, embed_dim=16, hidden_dim=16, n_mels=8,
+                      max_phonemes=16, max_frames=64)
+    cfg_p = dataclasses.replace(cfg, use_pallas_lr=True)
+    params = init_fastspeech2(jax.random.PRNGKey(0), cfg)
+    params["duration_predictor"]["output_norm"]["bias"] = jnp.asarray([1.3])
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 19, size=(2, 16)).astype(np.int32))
+    lens = jnp.asarray([10, 14], jnp.int32)
+
+    a = apply_fastspeech2(params, cfg, ids, lens)
+    try:
+        lrk.length_regulate_fused = lrk_interp
+        b = apply_fastspeech2(params, cfg_p, ids, lens)
+    finally:
+        lrk.length_regulate_fused = orig
+    np.testing.assert_array_equal(np.asarray(a["mel_len"]), np.asarray(b["mel_len"]))
+    np.testing.assert_allclose(np.asarray(a["mel_pred"]), np.asarray(b["mel_pred"]), atol=1e-5)
