@@ -8,6 +8,14 @@
 #   ./QUICKSTART.sh setup      # venv (if needed) + deps check + dirs + scripts
 #   ./QUICKSTART.sh check      # verify environment / devices / checkpoints
 #   ./QUICKSTART.sh data       # download + prepare LJSpeech (network required)
+#   ./QUICKSTART.sh vocoder    # fetch the LJ_FT HiFi-GAN checkpoint (network)
+#   ./QUICKSTART.sh align      # MFA forced alignment -> data/textgrid_data
+#
+# End-state parity with the reference bootstrap
+# (/root/reference/QUICKSTART.sh): directories, smoke scripts, dataset,
+# vocoder checkpoint under vocoder_checkpoints/LJ_FT_T2_V3 (the --hifigan_dir
+# convention: config.json + newest g_* file), and MFA TextGrids under
+# data/textgrid_data (the layout spev_tpu.data.dataset consumes).
 #
 set -euo pipefail
 cd "$(dirname "$0")"
@@ -84,19 +92,85 @@ ckpts = glob.glob("checkpoints/**/*.spev", recursive=True)
 print(f"  checkpoints found: {len(ckpts)}")
 hifi = glob.glob("vocoder_checkpoints/**/g_*", recursive=True)
 print(f"  HiFi-GAN checkpoints: {len(hifi)} (Griffin-Lim fallback active when 0)")
+if not hifi:
+    print("    -> ./QUICKSTART.sh vocoder  fetches LJ_FT_T2_V3")
+import shutil as _sh
+tg = glob.glob("data/textgrid_data/**/*.TextGrid", recursive=True)
+wavs = glob.glob("data/training_data/**/*.wav", recursive=True)
+print(f"  MFA: {'installed' if _sh.which('mfa') else 'not installed'}; "
+      f"alignment coverage: {len(tg)}/{len(wavs)} TextGrids"
+      + ("" if tg or not wavs else "  -> ./QUICKSTART.sh align (uniform-duration fallback active)"))
 EOF
 }
 
 data() {
   PYTHONPATH=. $PY -m spev_tpu.cli.download download --dataset single-speaker \
     --out_dir data/training_data --work_dir data/raw
-  echo "For MFA alignment (optional, better durations):"
-  echo "  mfa align data/training_data english_us_arpa english_us_arpa data/textgrid_data"
+  echo "Next steps: ./QUICKSTART.sh vocoder  (HiFi-GAN checkpoint)"
+  echo "            ./QUICKSTART.sh align    (MFA durations — optional but better)"
+}
+
+vocoder() {
+  # LJSpeech-fine-tuned HiFi-GAN checkpoint (reference bootstrap workflow).
+  # Directory convention consumed by --hifigan_dir / infer.vocoder.Vocoder:
+  # config.json + the newest g_* generator file.
+  mkdir -p vocoder_checkpoints
+  if ls vocoder_checkpoints/LJ_FT_T2_V3/g_* >/dev/null 2>&1; then
+    echo "HiFi-GAN checkpoint already present (vocoder_checkpoints/LJ_FT_T2_V3)"
+    return 0
+  fi
+  URL='https://drive.google.com/uc?export=download&id=1n0bsIYdTV79EFxkPF4v3g-zmF_6BTrtn'
+  TGZ=vocoder_checkpoints/LJ_FT_T2_V3.tar.gz
+  echo "Fetching LJ_FT_T2_V3 (~150 MB)..."
+  ok=false
+  if command -v wget >/dev/null 2>&1; then
+    wget --no-check-certificate -q "$URL" -O "$TGZ" && ok=true
+  fi
+  if [ "$ok" = false ] && command -v curl >/dev/null 2>&1; then
+    curl -fsSL "$URL" -o "$TGZ" && ok=true
+  fi
+  if [ "$ok" = true ] && [ -s "$TGZ" ]; then
+    tar -xzf "$TGZ" -C vocoder_checkpoints && rm -f "$TGZ"
+    echo "HiFi-GAN checkpoint installed under vocoder_checkpoints/"
+  else
+    rm -f "$TGZ"
+    echo "Offline or download failed — manual steps:"
+    echo "  1. Download LJ_FT_T2_V3.tar.gz from:"
+    echo "     https://drive.google.com/file/d/1n0bsIYdTV79EFxkPF4v3g-zmF_6BTrtn/view"
+    echo "  2. Extract into vocoder_checkpoints/ (yields LJ_FT_T2_V3/{config.json,g_*})"
+    echo "  3. Pass --hifigan_dir vocoder_checkpoints/LJ_FT_T2_V3 to the infer CLIs."
+    echo "Until then the CLIs fall back to Griffin-Lim automatically."
+    echo "Alternative (no download): train your own with"
+    echo "  PYTHONPATH=. $PY -m spev_tpu.cli.vocoder --data_dir data/training_data \\"
+    echo "      --out_dir vocoder_checkpoints/own"
+    return 1
+  fi
+}
+
+align() {
+  # Montreal Forced Aligner workflow -> data/textgrid_data/<utt>.TextGrid,
+  # the exact layout spev_tpu.data.dataset reads ('phones' interval tier;
+  # falls back to uniform durations when absent).
+  if ! command -v mfa >/dev/null 2>&1; then
+    echo "MFA not installed.  Install (conda required):"
+    echo "  conda install -c conda-forge montreal-forced-aligner -y"
+    echo "  mfa model download acoustic english_us_arpa"
+    echo "  mfa model download dictionary english_us_arpa"
+    echo "then re-run: ./QUICKSTART.sh align"
+    return 1
+  fi
+  mfa model download acoustic english_us_arpa || true
+  mfa model download dictionary english_us_arpa || true
+  echo "Aligning data/training_data (30-60 min for full LJSpeech)..."
+  mfa align data/training_data english_us_arpa english_us_arpa data/textgrid_data
+  echo "TextGrids in data/textgrid_data — training picks them up via --textgrid_dir"
 }
 
 case "${1:-setup}" in
   setup) setup ;;
   check) check ;;
   data) data ;;
-  *) echo "usage: $0 {setup|check|data}"; exit 1 ;;
+  vocoder) vocoder ;;
+  align) align ;;
+  *) echo "usage: $0 {setup|check|data|vocoder|align}"; exit 1 ;;
 esac

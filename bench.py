@@ -8,7 +8,18 @@ configurations:
 - **serving** (headline): bf16 vocoder weights/activations, batch 16 —
   the production-throughput mode;
 - **parity-grade**: float32 weights with bf16x3 matmuls (the numerics mode
-  that meets the ≤1e-3 MAE reference-parity budget), batch 8.
+  that meets the ≤1e-3 MAE reference-parity budget), batch 8;
+- **realistic**: same compiled serving graph driven with an LJSpeech-like
+  length distribution (32–128 phonemes) — RTF counted on *valid* audio
+  only, i.e. including the bucket-fill cost real serving pays.
+
+Also measures **training**: the full jitted train step (grad + masked
+NaN-skip AdamW update) at batch 16 / P=128 / M=768, reported as steps/sec
+and projected hours per 100 LJSpeech epochs (13,100 utts) — the
+reference's headline number is ~5 h on an RTX 3090
+(PRODUCTION_SYSTEM_SUMMARY.md:172).  MFU for both the serving graph and
+the train step comes from the compiled executable's own FLOP count
+(``compiled.cost_analysis()['flops']``) against the chip's bf16 peak.
 
 Baseline: the reference's documented 20× real-time on an RTX 3090
 (PRODUCTION_SYSTEM_SUMMARY.md:174; BASELINE.md).  ``vs_baseline`` =
@@ -27,6 +38,32 @@ import jax
 import jax.numpy as jnp
 
 SR, HOP = 22050, 256
+
+# bf16 peak FLOP/s per chip, keyed by device_kind prefix
+_PEAK_BF16 = {
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5p": 459e12,
+    "TPU v4": 275e12,
+    "TPU v6": 918e12,        # Trillium
+}
+
+
+def _peak_flops() -> float | None:
+    kind = jax.devices()[0].device_kind
+    for prefix, peak in _PEAK_BF16.items():
+        if kind.startswith(prefix):
+            return peak
+    return None
+
+
+def _compiled_flops(jitted, *args) -> float | None:
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
 
 
 def build(bf16_vocoder: bool):
@@ -65,7 +102,7 @@ def build(bf16_vocoder: bool):
     return cfg, params, vparams, jax.jit(run)
 
 
-def measure(bf16_vocoder: bool, B: int, n_iter: int = 10):
+def measure(bf16_vocoder: bool, B: int, n_iter: int = 10, want_flops: bool = False):
     cfg, params, vparams, run = build(bf16_vocoder)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(
@@ -84,13 +121,95 @@ def measure(bf16_vocoder: bool, B: int, n_iter: int = 10):
     jax.block_until_ready(wav)
     dt = time.perf_counter() - t0
     audio_sec = n_iter * B * cfg.max_frames * HOP / SR
-    return audio_sec / dt, dt / n_iter, cfg
+    flops = _compiled_flops(run, params, vparams, ids, lengths, breath) if want_flops else None
+
+    # realistic-length distribution on the SAME compiled graph: LJSpeech-like
+    # 32-128 phonemes, 6 frames/phoneme — RTF counts valid audio only, so the
+    # number includes the bucket-fill factor real serving pays
+    real_rtf = None
+    if want_flops:
+        real_lens = rng.integers(32, cfg.max_phonemes + 1, size=(B,)).astype(np.int32)
+        ids_r = np.zeros((B, cfg.max_phonemes), np.int32)
+        for b, L in enumerate(real_lens):
+            ids_r[b, :L] = rng.integers(1, cfg.vocab_size, size=(L,))
+        ids_r, lens_r = jnp.asarray(ids_r), jnp.asarray(real_lens)
+        wav, mel_len = run(params, vparams, ids_r, lens_r, breath)
+        jax.block_until_ready(wav)
+        valid_audio = float(np.asarray(mel_len).sum()) * HOP / SR
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            wav, mel_len = run(params, vparams, ids_r, lens_r, breath)
+        jax.block_until_ready(wav)
+        real_rtf = n_iter * valid_audio / (time.perf_counter() - t0)
+
+    return audio_sec / dt, dt / n_iter, cfg, flops, real_rtf
+
+
+def measure_training(B: int = 16, n_iter: int = 10):
+    """Full-size teacher-forced train step: steps/sec, MFU, projected
+    hours per 100 LJSpeech epochs (13,100 utterances)."""
+    from spev_tpu.config import ModelConfig, SpevConfig, TrainConfig
+    from spev_tpu.parallel.mesh import make_mesh, shard_batch
+    from spev_tpu.train.trainer import init_train_state, make_train_step
+
+    P, M = 128, 768
+    cfg = SpevConfig(
+        model=ModelConfig(vocab_size=128, max_phonemes=P, max_frames=M),
+        train=TrainConfig(batch_size=B),
+    )
+    mesh = make_mesh((1,), ("data",))
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    step = make_train_step(cfg, mesh, state.params, use_dropout=True)
+
+    rng = np.random.default_rng(0)
+    durs = np.full((B, P), 6.0, np.float32)  # fills the M=768 bucket exactly
+    feat = lambda lo, hi: rng.uniform(lo, hi, (B, P)).astype(np.float32)
+    batch = {
+        "ids": rng.integers(1, 128, size=(B, P)).astype(np.int32),
+        "lens": np.full((B,), P, np.int32),
+        "durs": durs,
+        "mel": np.clip(rng.standard_normal((B, M, 80)).astype(np.float32) - 4.0, -10, 2),
+        "mel_lens": np.full((B,), M, np.int32),
+        "log_durs": np.log(durs + 1).astype(np.float32),
+        "pitch": feat(-1, 1),
+        "energy": feat(-1, 1),
+        "breath": feat(0, 0.8),
+        "rough": feat(0, 1.5),
+        "bright": feat(-1, 1),
+    }
+    batch = shard_batch(mesh, batch)
+    key = jax.random.PRNGKey(1)
+
+    flops = _compiled_flops(step, state, batch, key)
+    state, metrics = step(state, batch, key)  # compile + warm
+    state, metrics = step(state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        state, metrics = step(state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n_iter
+
+    steps_per_sec = 1.0 / dt
+    lj_steps_per_epoch = int(np.ceil(13100 / B))
+    hours_100_epochs = 100 * lj_steps_per_epoch * dt / 3600.0
+    peak = _peak_flops()
+    mfu = (flops / dt / peak) if (flops and peak) else None
+    return steps_per_sec, hours_100_epochs, mfu
 
 
 def main():
-    serving_rtf, serving_wall, cfg = measure(bf16_vocoder=True, B=16)
-    parity_rtf, _, _ = measure(bf16_vocoder=False, B=8)
+    serving_rtf, serving_wall, cfg, serving_flops, real_rtf = measure(
+        bf16_vocoder=True, B=16, want_flops=True
+    )
+    parity_rtf, _, _, _, _ = measure(bf16_vocoder=False, B=8)
+    train_sps, train_hours, train_mfu = measure_training(B=16)
     B = 16
+    peak = _peak_flops()
+    serving_mfu = (
+        serving_flops / serving_wall / peak if (serving_flops and peak) else None
+    )
     print(
         json.dumps(
             {
@@ -99,10 +218,16 @@ def main():
                 "unit": "x_realtime",
                 "vs_baseline": round(serving_rtf / 20.0, 2),
                 "parity_grade_rtf": round(parity_rtf, 2),
+                "realistic_length_rtf": round(real_rtf, 2) if real_rtf else None,
                 "mel_frames_per_sec": round(B * cfg.max_frames / serving_wall),
                 "vocoder_samples_per_sec": round(B * cfg.max_frames * HOP / serving_wall),
                 "batch": B,
                 "wall_sec_per_batch": round(serving_wall, 4),
+                "serving_mfu": round(serving_mfu, 4) if serving_mfu else None,
+                "train_steps_per_sec": round(train_sps, 3),
+                "train_hours_per_100_lj_epochs": round(train_hours, 2),
+                "train_vs_baseline_3090_5h": round(5.0 / train_hours, 2) if train_hours else None,
+                "train_mfu": round(train_mfu, 4) if train_mfu else None,
                 "device": str(jax.devices()[0]),
             }
         )

@@ -101,11 +101,19 @@ def synthesize_advanced(args):
 
     ids = synth.phonemes_to_ids(phones)
     has_advanced = isinstance(synth.params, dict) and "advanced" in synth.params
+    # learned nasality channel: checkpoints trained with use_nasality carry a
+    # nasal head; --nasality then drives learned weights, with the documented
+    # mel-DSP composing on top below
+    nasal_vec = (
+        np.full((n,), np.clip(args.nasality, 0.0, 1.0), np.float32)
+        if synth.model_cfg.use_nasality else None
+    )
     wav, mel = synth.synthesize_ids(
         ids,
         breath=breath,
         rough=rough,
         bright=bright,
+        nasal=nasal_vec,
         duration_scale=duration_scale if emphasis_vec is None else duration_scale * emphasis_vec,
         pitch_scale=pitch_scale if emphasis_vec is None else pitch_scale * emphasis_vec,
         energy_scale=energy_scale if emphasis_vec is None else energy_scale * emphasis_vec,
@@ -133,7 +141,10 @@ def main(argv=None) -> None:
 
     enable_compilation_cache()
     if args.mode == "train":
-        run_training(args)
+        # the documented advanced training surface: VAD conditioning + the
+        # learned nasality channel (+0.1·L_nasal,
+        # PRODUCTION_SYSTEM_SUMMARY.md:133)
+        run_training(args, model_overrides={"use_vad": True, "use_nasality": True})
     else:
         wav, mel = synthesize_advanced(args)
         write_outputs(wav, mel, args.output)

@@ -101,8 +101,10 @@ class ModelConfig:
 
     # use the Pallas fused length-regulation kernel (one-hot matmul on the
     # MXU, hidden + all 5 variance tracks in one pass) instead of the XLA
-    # gather path.  Bit-exact; TPU only (inference/serving graphs).
-    use_pallas_lr: bool = False
+    # gather path.  Bit-exact; TPU only.  'auto' (default) enables it for
+    # deterministic (inference/serving) graphs on TPU — the kernel has no
+    # VJP, so training keeps the differentiable gather path.
+    use_pallas_lr: "bool | str" = "auto"
 
     # rematerialize FFT blocks in the backward pass (jax.checkpoint):
     # trades ~30% more FLOPs for not keeping the decoder's 2048-frame
@@ -137,6 +139,10 @@ class TrainConfig:
     w_pitch: float = 0.1
     w_energy: float = 0.1
     w_aux: float = 0.05
+    # learned nasality channel weight (documented advanced loss
+    # ``+0.1·L_nasal``, PRODUCTION_SYSTEM_SUMMARY.md:133); active only when
+    # model.use_nasality provides a nasal head
+    w_nasal: float = 0.1
     # two-phase schedule from the documented spev_tts surface (SURVEY §2.9):
     # the first `warmup_epochs` train only mel+duration; variance-predictor
     # losses are enabled afterwards.  0 = single-phase (spev_real_metrics).

@@ -45,6 +45,10 @@ def collate(
         "rough": np.zeros((B, max_phonemes), np.float32),
         "bright": np.zeros((B, max_phonemes), np.float32),
     }
+    if all("nasal" in u for u in utterances):
+        # learned nasality target (caches built before the channel existed
+        # simply omit the key and train without the nasal loss term)
+        out["nasal"] = np.zeros((B, max_phonemes), np.float32)
     if any("speaker_id" in u for u in utterances):
         out["speaker_ids"] = np.zeros((B,), np.int32)
     for b, u in enumerate(utterances):
@@ -64,6 +68,8 @@ def collate(
         out["mel_lens"][b] = t
         for k in ("pitch", "energy", "breath", "rough", "bright"):
             out[k][b, :n] = u[k]
+        if "nasal" in out:
+            out["nasal"][b, :n] = u["nasal"]
     return out
 
 

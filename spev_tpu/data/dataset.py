@@ -44,16 +44,10 @@ from spev_tpu.ops.stft import log_mel_spectrogram
 from spev_tpu.text.g2p import G2P
 from spev_tpu.text.textgrid import intervals_to_durations, phone_intervals
 from spev_tpu.text.vocab import SPECIALS
+from spev_tpu.utils.platform import on_tpu
 from spev_tpu.utils.wavio import read_wav, resample_linear
 
 _SIG_BUCKET = 8192
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
 
 
 class FeatureExtractor:
@@ -66,7 +60,7 @@ class FeatureExtractor:
         self.audio = audio
         self._full = {}
         self._stats_fn = {}
-        self.use_pallas = _on_tpu() if use_pallas == "auto" else bool(use_pallas)
+        self.use_pallas = on_tpu() if use_pallas == "auto" else bool(use_pallas)
 
     def _mel_fn(self, a):
         if self.use_pallas:
@@ -332,8 +326,16 @@ class SpevDataset:
 
         logf0 = np.log(np.nan_to_num(f0, nan=1e-8) + 1e-8)
         logcent = np.log(cent + 1e-8)
+        # nasality proxy: nasal resonance ≙ mid-frequency boost with
+        # high-frequency attenuation (PRODUCTION_SYSTEM_SUMMARY.md:64-69), so
+        # the per-frame spectral-tilt difference mid-band − high-band of the
+        # log-mel is the formant-proxy target; normalized per utterance to
+        # [0, 1] (relative nasality — no global stats pass needed)
+        nm = mel.shape[0]
+        tilt = mel[nm // 4 : nm // 2].mean(axis=0) - mel[(11 * nm) // 16 :].mean(axis=0)
         s = self.stats
-        p, e, br, ro, bri = [], [], [], [], []
+        p, e, br, ro, bri, na = [], [], [], [], [], []
+        tilt_mu, tilt_sd = float(tilt.mean()), float(tilt.std()) + 1e-5
         cur = 0
         for d in durs:
             sl = slice(cur, cur + d)
@@ -345,6 +347,7 @@ class SpevDataset:
             br.append(np.clip(1.0 - vprob[sl].mean(), 0.0, 0.8))
             ro.append(np.clip(voiced.std() if voiced.size else 0.0, 0.0, 1.5))
             bri.append(np.clip((logcent[sl].mean() - s["c_mean"]) / s["c_std"], -2.5, 2.5))
+            na.append(np.clip(0.5 + 0.25 * (tilt[sl].mean() - tilt_mu) / tilt_sd, 0.0, 1.0))
             cur += d
 
         path = os.path.join(self.cache_dir, f"u_{i:05d}.npz")
@@ -358,6 +361,7 @@ class SpevDataset:
             breath=np.asarray(br, np.float32),
             rough=np.asarray(ro, np.float32),
             bright=np.asarray(bri, np.float32),
+            nasal=np.asarray(na, np.float32),
         )
         return path, phs
 

@@ -119,11 +119,13 @@ class Synthesizer:
 
         @jax.jit
         def run(params, ids, lengths, breath, rough, bright, d, p, e,
-                speaker_ids=None, vad=None):
+                speaker_ids=None, vad=None, nasal=None):
             kw = dict(
                 target_breath=breath, target_rough=rough, target_bright=bright,
                 d_control=d, p_control=p, e_control=e,
             )
+            if nasal is not None:
+                kw["target_nasal"] = nasal
             if speaker_ids is not None or vad is not None:
                 from spev_tpu.models.advanced import apply_advanced
 
@@ -245,6 +247,7 @@ class Synthesizer:
         frame_bucket: Optional[int] = None,
         speaker_id: Optional[int] = None,
         vad: Optional[Sequence[float]] = None,
+        nasal: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """ids (n_ph,) → (waveform, log-mel (L, n_mels)).
 
@@ -282,6 +285,8 @@ class Synthesizer:
             scale(energy_scale),
             jnp.asarray([speaker_id], jnp.int32) if speaker_id is not None else None,
             jnp.asarray([list(vad)], jnp.float32) if vad is not None else None,
+            # learned nasality control (checkpoints with cfg.use_nasality)
+            ctl(nasal, 0.0) if (nasal is not None and self.model_cfg.use_nasality) else None,
         )
         # progressive bucket escalation: run at the smallest frame bucket
         # and climb only when the length regulator saturated it — short

@@ -94,6 +94,13 @@ def init_fastspeech2(key, cfg: ModelConfig) -> dict:
         params[f"{name}_predictor"] = _init_variance_predictor(next(keys), cfg)
     for name in ("pitch", "energy", "breath", "rough", "bright"):
         params[f"{name}_embedding"] = _init_small_conv(next(keys), cfg.hidden_dim)
+    if cfg.use_nasality:
+        # learned nasality channel (documented advanced loss term
+        # ``0.1·L_nasal``, PRODUCTION_SYSTEM_SUMMARY.md:55-69,133): a 7th
+        # variance predictor + embedding conv.  Zero-input → zero-bias conv
+        # output, so an advanced checkpoint remains a strict extension.
+        params["nasal_predictor"] = _init_variance_predictor(next(keys), cfg)
+        params["nasal_embedding"] = _init_small_conv(next(keys), cfg.hidden_dim)
     # mel head: N(0, 0.01²) weights, zero bias (``:179-181``)
     k = next(keys)
     params["mel_linear"] = {
@@ -178,6 +185,7 @@ def apply_fastspeech2(
     target_breath: Optional[jnp.ndarray] = None,
     target_rough: Optional[jnp.ndarray] = None,
     target_bright: Optional[jnp.ndarray] = None,
+    target_nasal: Optional[jnp.ndarray] = None,
     d_control=1.0,
     p_control=1.0,
     e_control=1.0,
@@ -192,7 +200,9 @@ def apply_fastspeech2(
       lengths: (B,) int32 valid phoneme counts.
       target_*: teacher-forcing targets (B, P); passing target_durations
         selects the training path.  target_breath/rough/bright alone act as
-        inference-time control overrides (``:222-224``).
+        inference-time control overrides (``:222-224``).  target_nasal is
+        the learned nasality channel's override/target (cfg.use_nasality;
+        documented advanced surface, PRODUCTION_SYSTEM_SUMMARY.md:55-69).
       d/p/e_control: scalar controls (duration multiplier pre-round, pitch &
         energy z-score multipliers, ``:215-217``).
       encoder_bias: optional (B, P, H) additive conditioning applied after
@@ -248,6 +258,14 @@ def apply_fastspeech2(
         _variance_predictor(params["rough_predictor"], x, cfg, src_mask, next_rng(), deterministic),
         *clamps.rough,
     )
+    nasal_pred = None
+    if cfg.use_nasality and "nasal_predictor" in params:
+        # learned nasality channel (PRODUCTION_SYSTEM_SUMMARY.md:55-69):
+        # documented control range 0-1
+        nasal_pred = jnp.clip(
+            _variance_predictor(params["nasal_predictor"], x, cfg, src_mask, next_rng(), deterministic),
+            0.0, 1.0,
+        )
 
     teacher_forced = target_durations is not None
     if teacher_forced:
@@ -275,9 +293,21 @@ def apply_fastspeech2(
         if target_bright is not None:
             bright = target_bright
 
+    nasal = None
+    if nasal_pred is not None:
+        nasal = target_nasal if target_nasal is not None else nasal_pred
+
     M = cfg.max_frames
     guard = clamps.duration_guard_max
-    if cfg.use_pallas_lr:
+    if cfg.use_pallas_lr == "auto":
+        # inference/serving graphs only: the fused kernel has no VJP, and
+        # training (dropout on) must stay differentiable end-to-end
+        from spev_tpu.utils.platform import on_tpu
+
+        use_pallas_lr = deterministic and on_tpu()
+    else:
+        use_pallas_lr = bool(cfg.use_pallas_lr)
+    if use_pallas_lr:
         # fused Pallas path: hidden + all five tracks in one kernel
         from spev_tpu.ops.pallas.length_regulator_kernel import length_regulate_fused
 
@@ -316,6 +346,10 @@ def apply_fastspeech2(
         + nn.conv1d(params["rough_embedding"], rough_f[..., None])
         + nn.conv1d(params["bright_embedding"], bright_f[..., None])
     )
+    if nasal is not None:
+        # 6th track: expanded separately (the fused kernel is fixed at 5)
+        nasal_f = jnp.clip(length_regulate_feature(nasal, durations, M, guard), 0.0, 1.0)
+        dec = dec + nn.conv1d(params["nasal_embedding"], nasal_f[..., None])
 
     for block in params["decoder_blocks"]:
         dec = block_fn(block, dec, cfg, frame_mask, next_rng(), deterministic)
@@ -331,6 +365,7 @@ def apply_fastspeech2(
         "breath_pred": breath_pred,
         "rough_pred": rough_pred,
         "bright_pred": bright_pred,
+        **({"nasal_pred": nasal_pred} if nasal_pred is not None else {}),
         "src_mask": src_mask,
         "mel_len": mel_len,
         "frame_mask": frame_mask,

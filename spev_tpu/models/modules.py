@@ -152,13 +152,17 @@ def embedding(params: dict, ids: jnp.ndarray, padding_idx: Optional[int] = 0) ->
 
 
 def init_mha(key, dim: int, n_heads: int) -> dict:
-    """torch nn.MultiheadAttention param layout: packed (3H, H) in_proj
-    (xavier-uniform), zero in_proj/out_proj bias, Linear-default out_proj
-    weight."""
+    """torch nn.MultiheadAttention params (xavier-uniform in_proj, zero
+    biases, Linear-default out_proj weight), stored as ``(3, H, H)`` /
+    ``(3, H)`` instead of torch's packed ``(3H, H)``: sharding dim 1 with
+    ``P(None, 'model')`` then splits each of q/k/v on head boundaries
+    (Megatron column-parallel attention) instead of cutting mid-k at 3H/S.
+    Torch interop reshapes to/from the packed layout
+    (utils/torch_loader.py)."""
     k1, k2 = jax.random.split(key)
     return {
-        "in_proj_weight": _xavier_uniform(k1, (3 * dim, dim), dim, dim),
-        "in_proj_bias": jnp.zeros((3 * dim,), jnp.float32),
+        "in_proj_weight": _xavier_uniform(k1, (3 * dim, dim), dim, dim).reshape(3, dim, dim),
+        "in_proj_bias": jnp.zeros((3, dim), jnp.float32),
         "out_proj": {
             "weight": _kaiming_uniform(k2, (dim, dim), dim),
             "bias": jnp.zeros((dim,), jnp.float32),
@@ -183,10 +187,11 @@ def multi_head_attention(
     """
     B, T, H = x.shape
     d = H // n_heads
-    w = params["in_proj_weight"]  # (3H, H)
-    b = params["in_proj_bias"]
-    qkv = jnp.matmul(x, w.T, precision=_PRECISION) + b  # (B, T, 3H)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    w = params["in_proj_weight"]  # (3, H, H): [q, k, v], rows = out features
+    b = params["in_proj_bias"]  # (3, H)
+    q = jnp.matmul(x, w[0].T, precision=_PRECISION) + b[0]
+    k = jnp.matmul(x, w[1].T, precision=_PRECISION) + b[1]
+    v = jnp.matmul(x, w[2].T, precision=_PRECISION) + b[2]
 
     def heads(t):  # (B, T, H) -> (B, nh, T, d)
         return t.reshape(B, T, n_heads, d).transpose(0, 2, 1, 3)

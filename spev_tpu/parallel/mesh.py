@@ -48,23 +48,25 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def _spec_for_param(path: str, has_model_axis: bool) -> P:
     """Partition spec for one parameter, keyed by its tree path.
 
-    Megatron-style TP for the FFT-block FFN:
-      conv1.weight (O, I, K) → shard O on 'model'   (column parallel)
-      conv2.weight (O, I, K) → shard I on 'model'   (row parallel)
-      attention in_proj (3H, H) → shard rows (heads) on 'model'
-      attention out_proj (H, H) → shard columns on 'model'
+    Megatron-style TP for the FFT block (one all-reduce per sublayer):
+      conv1.weight (O, I, K)     → shard O on 'model'      (column parallel)
+      conv1.bias (O,)            → shard O on 'model'
+      conv2.weight (O, I, K)     → shard I on 'model'      (row parallel)
+      in_proj_weight (3, H, H)   → shard dim 1 on 'model'  — head-aligned:
+        each shard holds whole heads of q, k AND v (the packed (3H, H)
+        torch layout would cut mid-k at 3H/S; see models/modules.py:init_mha)
+      in_proj_bias (3, H)        → shard dim 1 on 'model'
+      out_proj.weight (H, H)     → shard columns on 'model' (row parallel)
     Everything else is replicated.
     """
     if not has_model_axis:
         return P()
     if "conv1" in path:
-        return P("model") if path.endswith("weight") else P("model")
+        return P("model")
     if "conv2" in path and path.endswith("weight"):
         return P(None, "model")
-    if "in_proj_weight" in path:
-        return P("model")
-    if "in_proj_bias" in path:
-        return P("model")
+    if "in_proj_weight" in path or "in_proj_bias" in path:
+        return P(None, "model")
     if "out_proj" in path and path.endswith("weight"):
         return P(None, "model")
     return P()

@@ -85,4 +85,11 @@ def compute_losses(
         "l_energy": l_energy,
         "l_aux": l_aux,
     }
+    if "nasal_pred" in outputs and "nasal" in batch:
+        # documented advanced loss term ``0.1·L_nasal``
+        # (PRODUCTION_SYSTEM_SUMMARY.md:133), gated by cfg.model.use_nasality
+        l_nasal = _masked_mse(outputs["nasal_pred"], batch["nasal"], src_valid)
+        total = total + variance_weight * cfg.w_nasal * l_nasal
+        metrics["loss"] = total
+        metrics["l_nasal"] = l_nasal
     return total, metrics

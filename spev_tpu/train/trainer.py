@@ -92,6 +92,8 @@ def _loss_fn(params, cfg: SpevConfig, batch, rng, variance_weight: float):
         dropout_rng=rng,
         deterministic=rng is None,
     )
+    if cfg.model.use_nasality and "nasal" in batch:
+        kw["target_nasal"] = batch["nasal"]
     if "speaker_ids" in batch and "advanced" in params:
         # multi-speaker training routes through the advanced wrapper
         from spev_tpu.models.advanced import apply_advanced
@@ -208,6 +210,8 @@ def make_train_step(
     if batch_keys is None:
         batch_keys = ("ids", "lens", "durs", "mel", "mel_lens", "log_durs",
                       "pitch", "energy", "breath", "rough", "bright")
+        if cfg.model.use_nasality:
+            batch_keys = batch_keys + ("nasal",)
     batch_sh = {k: b_sh for k in batch_keys}
     return jax.jit(
         step_fn,
@@ -232,6 +236,8 @@ def make_eval_step(cfg: SpevConfig, mesh, params_example, batch_keys=None) -> Ca
             target_rough=batch["rough"],
             target_bright=batch["bright"],
         )
+        if cfg.model.use_nasality and "nasal" in batch:
+            kw["target_nasal"] = batch["nasal"]
         if "speaker_ids" in batch and "advanced" in params:
             from spev_tpu.models.advanced import apply_advanced
 
@@ -255,6 +261,8 @@ def make_eval_step(cfg: SpevConfig, mesh, params_example, batch_keys=None) -> Ca
     if batch_keys is None:
         batch_keys = ("ids", "lens", "durs", "mel", "mel_lens", "log_durs",
                       "pitch", "energy", "breath", "rough", "bright")
+        if cfg.model.use_nasality:
+            batch_keys = batch_keys + ("nasal",)
     return jax.jit(eval_fn, in_shardings=(p_sh, {k: b_sh for k in batch_keys}),
                    out_shardings=None)
 

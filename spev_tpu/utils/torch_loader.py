@@ -164,10 +164,14 @@ def _vp_from_sd(sd: dict, prefix: str, n_layers: int = 2) -> dict:
 
 
 def _block_from_sd(sd: dict, prefix: str) -> dict:
+    # torch packs q/k/v as (3H, H)/(3H,); spev_tpu stores (3, H, H)/(3, H)
+    # so TP shards land on head boundaries (models/modules.py:init_mha)
+    w = sd[f"{prefix}.attention.in_proj_weight"]
+    b = sd[f"{prefix}.attention.in_proj_bias"]
     return {
         "attention": {
-            "in_proj_weight": sd[f"{prefix}.attention.in_proj_weight"],
-            "in_proj_bias": sd[f"{prefix}.attention.in_proj_bias"],
+            "in_proj_weight": w.reshape(3, w.shape[0] // 3, w.shape[1]),
+            "in_proj_bias": b.reshape(3, b.shape[0] // 3),
             "out_proj": {
                 "weight": sd[f"{prefix}.attention.out_proj.weight"],
                 "bias": sd[f"{prefix}.attention.out_proj.bias"],
@@ -216,8 +220,10 @@ def fastspeech2_params_to_state_dict(params: dict) -> dict:
     for kind in ("encoder", "decoder"):
         for i, blk in enumerate(params[f"{kind}_blocks"]):
             pre = f"{kind}_blocks.{i}"
-            put(f"{pre}.attention.in_proj_weight", blk["attention"]["in_proj_weight"])
-            put(f"{pre}.attention.in_proj_bias", blk["attention"]["in_proj_bias"])
+            w3 = np.asarray(blk["attention"]["in_proj_weight"])
+            b3 = np.asarray(blk["attention"]["in_proj_bias"])
+            put(f"{pre}.attention.in_proj_weight", w3.reshape(-1, w3.shape[-1]))
+            put(f"{pre}.attention.in_proj_bias", b3.reshape(-1))
             put(f"{pre}.attention.out_proj.weight", blk["attention"]["out_proj"]["weight"])
             put(f"{pre}.attention.out_proj.bias", blk["attention"]["out_proj"]["bias"])
             for nm in ("norm1", "conv1", "conv2", "norm2"):

@@ -3,6 +3,7 @@ CPU; the same kernels compile for TPU)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from spev_tpu.ops.stft import hann_window, log_mel_spectrogram, stft_complex, istft
 from spev_tpu.ops.pallas.kernels import fused_log_mel, overlap_add
@@ -107,3 +108,42 @@ def test_model_forward_with_pallas_lr_matches():
         lrk.length_regulate_fused = orig
     np.testing.assert_array_equal(np.asarray(a["mel_len"]), np.asarray(b["mel_len"]))
     np.testing.assert_allclose(np.asarray(a["mel_pred"]), np.asarray(b["mel_pred"]), atol=1e-5)
+
+
+def test_pallas_lr_auto_resolution():
+    """'auto' uses the fused kernel ONLY for deterministic graphs on TPU:
+    training must keep the differentiable gather path (the kernel has no
+    VJP), and CPU always falls back to gather."""
+    import jax
+    from spev_tpu.config import ModelConfig
+    from spev_tpu.models import fastspeech2 as fs2
+    from spev_tpu.models.fastspeech2 import apply_fastspeech2, init_fastspeech2
+    import spev_tpu.ops.pallas.length_regulator_kernel as lrk
+    import spev_tpu.utils.platform as plat
+
+    cfg = ModelConfig(vocab_size=19, embed_dim=16, hidden_dim=16, n_mels=8,
+                      max_phonemes=16, max_frames=64)
+    assert cfg.use_pallas_lr == "auto"
+    params = init_fastspeech2(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 19, size=(1, 16)).astype(np.int32))
+    lens = jnp.asarray([10], jnp.int32)
+
+    def boom(*a, **k):
+        raise AssertionError("fused kernel must not be used here")
+
+    orig_kernel, orig_on_tpu = lrk.length_regulate_fused, plat.on_tpu
+    try:
+        lrk.length_regulate_fused = boom
+        # CPU (on_tpu False): auto → gather even for deterministic graphs
+        apply_fastspeech2(params, cfg, ids, lens)
+        # pretend-TPU: training graphs (deterministic=False) still gather
+        plat.on_tpu = lambda: True
+        fs2.on_tpu = plat.on_tpu  # in case of a direct from-import
+        apply_fastspeech2(params, cfg, ids, lens, deterministic=False,
+                          dropout_rng=jax.random.PRNGKey(1))
+        # pretend-TPU + deterministic: auto → fused kernel is selected
+        with pytest.raises(AssertionError, match="fused kernel"):
+            apply_fastspeech2(params, cfg, ids, lens)
+    finally:
+        lrk.length_regulate_fused = orig_kernel
+        plat.on_tpu = orig_on_tpu

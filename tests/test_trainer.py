@@ -145,13 +145,32 @@ def test_checkpoint_roundtrip(tmp_path, setup):
 
 
 def test_grad_accumulation_matches_full_batch():
-    """accum=2 over a batch must produce the same update as accum=1 on the
-    same data (deterministic, no dropout)."""
+    """accum=2 over a batch must produce the SAME parameter update as
+    accum=1 on the same data (deterministic, no dropout).
+
+    Exact equivalence requires the loss denominators to match across micro
+    batches: equal phoneme counts (masked-MSE denominators) and equal
+    ``mel_lens`` (the reference's unmasked mel mean over the batch max) —
+    reference accumulation semantics, spev_real_metrics.py:541-585."""
     cfg1 = tiny_cfg()
     import dataclasses
     cfg2 = dataclasses.replace(cfg1, train=dataclasses.replace(cfg1.train, grad_accum=2))
     mesh = make_mesh((1,), ("data",))
-    batch = synth_batch(np.random.default_rng(7))
+    rng = np.random.default_rng(7)
+    batch = synth_batch(rng)
+    # denominator-match the micro batches: every sample gets the same
+    # duration total (same mel_lens) — synth_batch already uses equal n_ph
+    B = batch["ids"].shape[0]
+    durs = np.zeros_like(batch["durs"])
+    durs[:, :10] = 3.0
+    mel_lens = durs.sum(axis=1).astype(np.int32)
+    mel = np.zeros_like(batch["mel"])
+    for b in range(B):
+        mel[b, : mel_lens[b]] = rng.standard_normal((mel_lens[b], NMEL)) - 4.0
+    batch.update(
+        durs=durs, mel_lens=mel_lens, mel=np.clip(mel, -10, 2),
+        log_durs=(np.log(durs + 1) * (durs > 0)).astype(np.float32),
+    )
 
     s1 = init_train_state(jax.random.PRNGKey(11), cfg1)
     s2 = init_train_state(jax.random.PRNGKey(11), cfg2)
@@ -160,16 +179,20 @@ def test_grad_accumulation_matches_full_batch():
     key = jax.random.PRNGKey(0)
     s1, m1 = step1(s1, shard_batch(mesh, batch), key)
     s2, m2 = step2(s2, shard_batch(mesh, batch), key)
-    # losses are averages of micro losses vs one big batch: the unmasked
-    # mel denominator makes these equal only when mel_lens are equal per
-    # micro batch (synth_batch uses random lengths), so compare params
-    # loosely and check both updated and stayed finite
-    assert float(m2["skipped"]) == 0.0
-    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
-        assert np.isfinite(np.asarray(a)).all() and np.isfinite(np.asarray(b)).all()
-    # micro-averaged grads differ from full-batch grads only through the
-    # per-micro loss denominators; the update direction must broadly agree
-    assert int(s2.step) == 1
+    assert float(m1["skipped"]) == float(m2["skipped"]) == 0.0
+    assert int(s1.step) == int(s2.step) == 1
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves_with_path(s1.params)
+    flat2 = jax.tree.leaves(s2.params)
+    assert len(flat1) == len(flat2)
+    # atol: Adam normalizes the first-step update to ±lr (1e-4); summation-
+    # order fp noise in near-zero grads shows up as ≤5e-6 there.  A real
+    # denominator bug (e.g. missing /accum) would shift updates by ~5e-5.
+    for (path, a), b in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=5e-6,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}",
+        )
 
 
 def test_grad_accumulation_skips_nan_micro_batch():
@@ -206,3 +229,42 @@ def test_tensor_parallel_weights_actually_sharded():
                        blk["conv1"]["weight"])
     shard_rows = {s.data.shape[0] for s in w.addressable_shards}
     assert shard_rows == {w.shape[0] // 2}
+    # attention in_proj (3, H, H): dim 1 sharded → each shard holds whole
+    # heads of q, k AND v (head-aligned Megatron layout, not a mid-k cut)
+    assert blk["attention"]["in_proj_weight"].spec == jax.sharding.PartitionSpec(None, "model")
+    wq = jax.device_put(state.params["encoder_blocks"][0]["attention"]["in_proj_weight"],
+                        blk["attention"]["in_proj_weight"])
+    d_head = H // 2  # tiny_cfg: n_heads=2, model axis=2 → one head per shard
+    for s in wq.addressable_shards:
+        assert s.data.shape == (3, d_head, H)
+
+
+def test_tensor_parallel_block_collectives_are_megatron():
+    """Compiled HLO of one sharded FFT block must show the Megatron
+    signature: exactly 2 all-reduces (attention out_proj + FFN conv2) and
+    NO resharding collectives (all-gather / collective-permute /
+    all-to-all) — i.e. the head-aligned in_proj layout never forces XLA to
+    regather q/k/v (SURVEY §2.4)."""
+    import re
+    from jax.sharding import NamedSharding, PartitionSpec
+    from spev_tpu.models.fastspeech2 import _fft_block
+    from spev_tpu.parallel.mesh import param_shardings
+
+    cfg = tiny_cfg().model
+    mesh = make_mesh((1, 2), ("data", "model"))
+    params = init_train_state(jax.random.PRNGKey(0), tiny_cfg()).params
+    blk = params["encoder_blocks"][0]
+    blk_sh = param_shardings(mesh, {"encoder_blocks": [blk]})["encoder_blocks"][0]
+    blk = jax.device_put(blk, blk_sh)
+    x = jax.device_put(jnp.zeros((4, P, H)), NamedSharding(mesh, PartitionSpec("data")))
+    mask = jax.device_put(jnp.zeros((4, P), bool), NamedSharding(mesh, PartitionSpec("data")))
+
+    fn = jax.jit(lambda p, x, m: _fft_block(p, x, cfg, m, None, True))
+    txt = fn.lower(blk, x, mask).compile().as_text()
+
+    def count(op):
+        return len(re.findall(rf"{op}\(", txt)) + len(re.findall(rf"{op}-start", txt))
+
+    assert count("all-reduce") == 2, txt[:2000]
+    for op in ("all-gather", "collective-permute", "all-to-all", "reduce-scatter"):
+        assert count(op) == 0, op
