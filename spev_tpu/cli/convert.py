@@ -8,11 +8,19 @@ the host.
     python -m spev_tpu.cli.convert to-spev best.pt  best.spev
     python -m spev_tpu.cli.convert to-pt   best.spev best.pt
     python -m spev_tpu.cli.convert info    best.pt
+    python -m spev_tpu.cli.convert cache   cache_stable/ cache_spev/
+    python -m spev_tpu.cli.convert cache   proper_cache_strict.pt cache_spev/
+
+The ``cache`` command imports the reference's preprocessed training cache
+(per-utterance ``u_*.pt`` + metadata.json, or a monolithic
+``proper_cache_strict.pt``) so librosa/MFA preprocessing done with the
+reference carries over without rerunning.
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def main(argv=None) -> None:
@@ -24,7 +32,24 @@ def main(argv=None) -> None:
         c.add_argument("dst")
     i = sub.add_parser("info")
     i.add_argument("src")
+    c = sub.add_parser("cache")
+    c.add_argument("src", help="reference cache dir (u_*.pt + metadata.json) or monolithic .pt")
+    c.add_argument("dst", help="output spev npz cache dir")
     args = p.parse_args(argv)
+
+    if args.cmd == "cache":
+        from spev_tpu.data.cache_import import (
+            import_monolithic_cache,
+            import_reference_cache,
+        )
+
+        if os.path.isdir(args.src):
+            meta = import_reference_cache(args.src, args.dst)
+        else:
+            meta = import_monolithic_cache(args.src, args.dst)
+        print(f"imported {len(meta['files'])} utterances, vocab {len(meta['vocab'])} "
+              f"-> {args.dst}")
+        return
 
     from spev_tpu.train.checkpoint import (
         export_reference_checkpoint,
