@@ -66,7 +66,7 @@ def _compiled_flops(jitted, *args) -> float | None:
         return None
 
 
-def build(bf16_vocoder: bool):
+def build(bf16_vocoder: bool, prefer_folded=None):
     from spev_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -88,6 +88,11 @@ def build(bf16_vocoder: bool):
     if bf16_vocoder:
         vparams = jax.tree.map(lambda x: x.astype(jnp.bfloat16), vparams)
 
+    # polyphase-folded vocoder execution on TPU (exact; docs/BENCH.md)
+    from spev_tpu.models.hifigan import HiFiGANGenerator
+
+    vapply, vrt = HiFiGANGenerator(vcfg, vparams).runtime(prefer_folded=prefer_folded)
+
     def run(params, vparams, ids, lengths, breath):
         out = apply_fastspeech2(
             params, cfg, ids, lengths,
@@ -96,10 +101,10 @@ def build(bf16_vocoder: bool):
         mel = jnp.clip(jnp.nan_to_num(out["mel_pred"], nan=-5.0), -10.0, 2.0)
         if bf16_vocoder:
             mel = mel.astype(jnp.bfloat16)
-        wav = apply_hifigan(vparams, vcfg, mel)  # full buckets: no masking
+        wav = vapply(vparams, mel)  # full buckets: no masking
         return wav.astype(jnp.float32), out["mel_len"]
 
-    return cfg, params, vparams, jax.jit(run)
+    return cfg, params, vrt, jax.jit(run)
 
 
 def measure(bf16_vocoder: bool, B: int, n_iter: int = 10, want_flops: bool = False):
@@ -121,7 +126,14 @@ def measure(bf16_vocoder: bool, B: int, n_iter: int = 10, want_flops: bool = Fal
     jax.block_until_ready(wav)
     dt = time.perf_counter() - t0
     audio_sec = n_iter * B * cfg.max_frames * HOP / SR
+    # executed FLOPs (the folded graph does ~2x the model's intrinsic FLOPs
+    # to fill the MXU) → hardware utilization; intrinsic model FLOPs come
+    # from lowering the standard-path graph → MFU
     flops = _compiled_flops(run, params, vparams, ids, lengths, breath) if want_flops else None
+    model_flops = None
+    if want_flops:
+        _, params_std, vrt_std, run_std = build(bf16_vocoder, prefer_folded=False)
+        model_flops = _compiled_flops(run_std, params_std, vrt_std, ids, lengths, breath)
 
     # realistic-length distribution on the SAME compiled graph: LJSpeech-like
     # 32-128 phonemes, 6 frames/phoneme — RTF counts valid audio only, so the
@@ -142,7 +154,7 @@ def measure(bf16_vocoder: bool, B: int, n_iter: int = 10, want_flops: bool = Fal
         jax.block_until_ready(wav)
         real_rtf = n_iter * valid_audio / (time.perf_counter() - t0)
 
-    return audio_sec / dt, dt / n_iter, cfg, flops, real_rtf
+    return audio_sec / dt, dt / n_iter, cfg, flops, real_rtf, model_flops
 
 
 def measure_training(B: int = 16, n_iter: int = 10):
@@ -200,15 +212,19 @@ def measure_training(B: int = 16, n_iter: int = 10):
 
 
 def main():
-    serving_rtf, serving_wall, cfg, serving_flops, real_rtf = measure(
+    serving_rtf, serving_wall, cfg, serving_flops, real_rtf, model_flops = measure(
         bf16_vocoder=True, B=16, want_flops=True
     )
-    parity_rtf, _, _, _, _ = measure(bf16_vocoder=False, B=8)
+    parity_rtf, _, _, _, _, _ = measure(bf16_vocoder=False, B=8)
     train_sps, train_hours, train_mfu = measure_training(B=16)
     B = 16
     peak = _peak_flops()
-    serving_mfu = (
+    # hw util: executed (folded) FLOPs; MFU: the model's intrinsic FLOPs
+    serving_hw_util = (
         serving_flops / serving_wall / peak if (serving_flops and peak) else None
+    )
+    serving_mfu = (
+        model_flops / serving_wall / peak if (model_flops and peak) else None
     )
     print(
         json.dumps(
@@ -224,6 +240,7 @@ def main():
                 "batch": B,
                 "wall_sec_per_batch": round(serving_wall, 4),
                 "serving_mfu": round(serving_mfu, 4) if serving_mfu else None,
+                "serving_hw_flop_util": round(serving_hw_util, 4) if serving_hw_util else None,
                 "train_steps_per_sec": round(train_sps, 3),
                 "train_hours_per_100_lj_epochs": round(train_hours, 2),
                 "train_vs_baseline_3090_5h": round(5.0 / train_hours, 2) if train_hours else None,

@@ -60,9 +60,8 @@ def stream_vocode(
     n_mels = mel.shape[1]
     win = ctx + chunk_frames
 
-    from spev_tpu.models.hifigan import apply_hifigan
-
-    run = jax.jit(lambda p, m: apply_hifigan(p, cfg, m))
+    vapply, vparams = generator.runtime()
+    run = jax.jit(lambda p, m: vapply(p, m))
 
     # left-pad with the mel floor so the first chunk has full context
     mel_pad = jnp.concatenate(
@@ -75,7 +74,7 @@ def stream_vocode(
             (start, 0),
             (win, n_mels),
         )
-        wav = np.asarray(run(generator.params, seg[None])[0])
+        wav = np.asarray(run(vparams, seg[None])[0])
         emit = wav[ctx * hop :]
         valid = min(chunk_frames, T - start) * hop
         yield emit[:valid]

@@ -148,9 +148,11 @@ class Synthesizer:
         if self.vocoder.is_neural:
             gen = self.vocoder.generator
 
+            vapply, _ = gen.runtime()
+
             @jax.jit
             def run(voc_params, mel, mel_len):
-                return apply_hifigan(voc_params, gen.cfg, mel, mel_len=mel_len)
+                return vapply(voc_params, mel, mel_len)
 
         else:
 
@@ -181,6 +183,7 @@ class Synthesizer:
             return self._graphs[key]
         cfg = dataclasses.replace(self.model_cfg, max_phonemes=P, max_frames=M)
         gen = self.vocoder.generator
+        vapply, _ = gen.runtime()
 
         @jax.jit
         def run(params, voc_params, ids, lengths, breath, rough, bright, d, p, e):
@@ -190,7 +193,7 @@ class Synthesizer:
                 d_control=d, p_control=p, e_control=e,
             )
             mel = jnp.clip(jnp.nan_to_num(out["mel_pred"], nan=-5.0), -10.0, 2.0)
-            wav = apply_hifigan(voc_params, gen.cfg, mel, mel_len=out["mel_len"])
+            wav = vapply(voc_params, mel, out["mel_len"])
             return wav, mel, out["mel_len"]
 
         self._graphs[key] = run
@@ -224,7 +227,7 @@ class Synthesizer:
         full = lambda v: None if v is None else jnp.asarray(v)
         return run(
             self.params,
-            self.vocoder.generator.params,
+            self.vocoder.generator.runtime()[1],
             jnp.asarray(ids_batch),
             jnp.asarray(lengths, ),
             full(breath),
@@ -310,7 +313,7 @@ class Synthesizer:
             if self.vocoder.is_neural
             else self.audio.hop_length
         )
-        voc_params = self.vocoder.generator.params if self.vocoder.is_neural else {}
+        voc_params = self.vocoder.generator.runtime()[1] if self.vocoder.is_neural else {}
         wav = self._vocoder_graph(M_voc)(voc_params, mel_v, mel_len)
         return np.asarray(wav[0, : L * hop]), np.asarray(mel[0, :L])
 

@@ -53,15 +53,10 @@ class Vocoder:
         """log_mel (T, n_mels) → waveform np.float32 (T·hop,)-ish."""
         if self.generator is not None:
             if self._jit_hifigan is None:
-                gen = self.generator
-
-                def run(params, mel):
-                    from spev_tpu.models.hifigan import apply_hifigan
-
-                    return apply_hifigan(params, gen.cfg, mel[None])[0]
-
-                self._jit_hifigan = jax.jit(run)
-            return np.asarray(self._jit_hifigan(self.generator.params, jnp.asarray(log_mel)))
+                vapply, vparams = self.generator.runtime()
+                self._jit_hifigan = (jax.jit(lambda p, mel: vapply(p, mel[None])[0]), vparams)
+            run, vparams = self._jit_hifigan
+            return np.asarray(run(vparams, jnp.asarray(log_mel)))
         if self._jit_gl is None:
             a = self.audio
 

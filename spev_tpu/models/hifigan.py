@@ -328,6 +328,37 @@ class HiFiGANGenerator:
     def __init__(self, cfg: HiFiGANConfig, params: dict):
         self.cfg = cfg
         self.params = params
+        self._folded = None
+
+    @property
+    def folded(self) -> dict:
+        """Lazily-built polyphase-folded weights (see hifigan_folded.py)."""
+        if self._folded is None:
+            from spev_tpu.models.hifigan_folded import fold_hifigan
+
+            self._folded = fold_hifigan(self.params, self.cfg)
+        return self._folded
+
+    def runtime(self, prefer_folded: "bool | None" = None):
+        """(apply_fn, params) for serving graphs: the polyphase-folded
+        execution on TPU (exact output, ~1.7× on V1 — docs/BENCH.md), the
+        standard path elsewhere.  apply_fn(params, mel, mel_len=None)."""
+        from spev_tpu.utils.platform import on_tpu
+
+        use_folded = on_tpu() if prefer_folded is None else bool(prefer_folded)
+        if use_folded:
+            from spev_tpu.models.hifigan_folded import apply_hifigan_folded
+
+            cfg = self.cfg
+            return (
+                lambda p, mel, mel_len=None: apply_hifigan_folded(p, cfg, mel, mel_len),
+                self.folded,
+            )
+        cfg = self.cfg
+        return (
+            lambda p, mel, mel_len=None: apply_hifigan(p, cfg, mel, mel_len=mel_len),
+            self.params,
+        )
 
     @staticmethod
     def from_pretrained(directory: str) -> "HiFiGANGenerator":

@@ -1,0 +1,271 @@
+"""Polyphase-folded HiFi-GAN execution — the TPU fast path.
+
+The stock generator (`models/hifigan.py`) is exact but maps poorly onto the
+MXU in its late stages: V1 runs 18 dilated convs per stage at 64 and 32
+channels over 98k/196k-sample activations — a (L, 32)·(32·k, 32) matmul
+uses ~25% of the 128-wide systolic array in BOTH contraction and output
+dims — and every transposed conv built on ``lhs_dilation`` multiplies u−1
+zeros per input sample.
+
+This module runs the SAME arithmetic in a folded domain: length is folded
+into channels, ``x(B, L, C) → xf(B, L/r, r·C)`` (a free reshape), and every
+conv's weights are scattered once, host-side, into an equivalent dense
+kernel over the folded domain:
+
+- a dilated conv (C, C, k, d) at fold r becomes a stride-1, dilation-1 conv
+  (r·C, r·C, k') with k' ≈ k·d/r + 2 — at r·C = 128 the MXU runs full width;
+- a transposed conv (I, O, k, stride u) with input fold r_in becomes a
+  plain conv (r_in·I, r_in·u·O, k'), k' ≈ k/u + 2 — the natural polyphase
+  decomposition, zero wasted multiplies.
+
+Exactness: the folded kernel contains exactly the original tap weights
+(scattered, never recombined), folded zero-padding covers the same zero
+samples as 'same' padding in the unfolded domain, and bucket masking stays
+row-exact because every fold factor divides the cumulative upsample stride.
+Outputs match `apply_hifigan` to float rounding (contraction order
+changes); see tests/test_hifigan_folded.py.
+
+Usage:
+
+    folded = fold_hifigan(params, cfg)          # once, host-side
+    wav = apply_hifigan_folded(folded, cfg, mel, mel_len)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spev_tpu.models import modules as nn
+from spev_tpu.models.hifigan import LRELU_SLOPE, HiFiGANConfig
+
+# fold so that effective channel width reaches the MXU's 128 lanes
+_TARGET_CHANNELS = 128
+
+
+def _fold_regular(w: np.ndarray, d: int, r: int) -> tuple[np.ndarray, int, int]:
+    """Torch-layout (O, I, K) dilated 'same' conv → folded HIO kernel.
+
+    Returns (wf (K', r·I, r·O), pad_lo, pad_hi) for a stride-1/dilation-1
+    conv in the r-folded domain."""
+    O, I, K = w.shape
+    pad = (K - 1) * d // 2
+    taps = {}
+    for p in range(r):
+        for t in range(K):
+            m, q = divmod(p - pad + t * d, r)
+            taps.setdefault(m, []).append((q, p, t))
+    m_min, m_max = min(taps), max(taps)
+    wf = np.zeros((m_max - m_min + 1, r * I, r * O), np.float32)
+    for m, entries in taps.items():
+        for q, p, t in entries:
+            wf[m - m_min, q * I : (q + 1) * I, p * O : (p + 1) * O] = w[:, :, t].T
+    return wf, -m_min, m_max
+
+
+def _fold_transpose(w: np.ndarray, u: int, r_in: int) -> tuple[np.ndarray, int, int]:
+    """Torch-layout (I, O, K) ConvTranspose1d(stride=u, padding=(K-u)//2)
+    with r_in-folded input → folded HIO kernel producing an r_in·u-folded
+    output.  Returns (wf (K', r_in·I, r_in·u·O), pad_lo, pad_hi)."""
+    I, O, K = w.shape
+    pad = (K - u) // 2
+    r_out = r_in * u
+    taps = {}
+    for P in range(r_out):
+        for t in range(K):
+            num = P + pad - t
+            if num % u:
+                continue
+            m, rho = divmod(num // u, r_in)
+            taps.setdefault(m, []).append((rho, P, t))
+    m_min, m_max = min(taps), max(taps)
+    wf = np.zeros((m_max - m_min + 1, r_in * I, r_out * O), np.float32)
+    for m, entries in taps.items():
+        for rho, P, t in entries:
+            wf[m - m_min, rho * I : (rho + 1) * I, P * O : (P + 1) * O] = w[:, :, t]
+    return wf, -m_min, m_max
+
+
+@jax.tree_util.register_pytree_node_class
+class FoldedConv:
+    """Folded kernel + bias with STATIC padding (pytree aux data, so the
+    pad ints never become tracers under jit)."""
+
+    def __init__(self, wf, bf, pad):
+        self.wf, self.bf, self.pad = wf, bf, pad
+
+    def tree_flatten(self):
+        return (self.wf, self.bf), self.pad
+
+    @classmethod
+    def tree_unflatten(cls, pad, children):
+        return cls(children[0], children[1], pad)
+
+
+def _pack(wf, pad_lo, pad_hi, bias, r_out, dtype):
+    return FoldedConv(
+        jnp.asarray(wf.astype(np.float32), dtype=dtype),
+        jnp.asarray(np.tile(np.asarray(bias, np.float32), r_out), dtype=dtype),
+        (int(pad_lo), int(pad_hi)),
+    )
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(jax.device_get(x), np.float32)
+
+
+def stage_folds(cfg: HiFiGANConfig) -> list[int]:
+    """Per-stage fold factor: largest divisor of the cumulative stride that
+    lifts C to _TARGET_CHANNELS, capped at the natural r_in·u of the stage."""
+    folds = []
+    ch = cfg.upsample_initial_channel
+    r = 1
+    for u in cfg.upsample_rates:
+        ch //= 2
+        want = max(1, _TARGET_CHANNELS // ch)
+        r_nat = r * u
+        best = 1
+        for cand in range(1, r_nat + 1):
+            if r_nat % cand == 0 and cand <= want:
+                best = cand
+        folds.append(best)
+        r = best
+    return folds
+
+
+def fold_hifigan(params: dict, cfg: HiFiGANConfig) -> dict:
+    """One-time host-side weight folding.  The returned tree is consumed by
+    `apply_hifigan_folded`; dtype follows the input params (bf16 serving
+    weights stay bf16)."""
+    dtype = params["conv_pre"]["weight"].dtype
+    folds = stage_folds(cfg)
+    out = {}
+
+    w = _np(params["conv_pre"]["weight"])
+    wf, lo, hi = _fold_regular(w, 1, 1)
+    out["conv_pre"] = _pack(wf, lo, hi, _np(params["conv_pre"]["bias"]), 1, dtype)
+
+    ups, stages = [], []
+    r_in = 1
+    n_kernels = len(cfg.resblock_kernel_sizes)
+    for i, u in enumerate(cfg.upsample_rates):
+        w = _np(params["ups"][i]["weight"])  # (I, O, K)
+        wf, lo, hi = _fold_transpose(w, u, r_in)
+        ups.append(_pack(wf, lo, hi, _np(params["ups"][i]["bias"]), r_in * u, dtype))
+        r = folds[i]
+        blocks = []
+        for j in range(n_kernels):
+            rb = params["resblocks"][i * n_kernels + j]
+            dil = cfg.resblock_dilation_sizes[j]
+            if cfg.resblock == "1":
+                convs1, convs2 = [], []
+                for di, d in enumerate(dil):
+                    w1 = _np(rb["convs1"][di]["weight"])
+                    wf, lo, hi = _fold_regular(w1, d, r)
+                    convs1.append(_pack(wf, lo, hi, _np(rb["convs1"][di]["bias"]), r, dtype))
+                    w2 = _np(rb["convs2"][di]["weight"])
+                    wf, lo, hi = _fold_regular(w2, 1, r)
+                    convs2.append(_pack(wf, lo, hi, _np(rb["convs2"][di]["bias"]), r, dtype))
+                blocks.append({"convs1": convs1, "convs2": convs2})
+            else:
+                convs = []
+                for di, d in enumerate(dil):
+                    wd = _np(rb["convs"][di]["weight"])
+                    wf, lo, hi = _fold_regular(wd, d, r)
+                    convs.append(_pack(wf, lo, hi, _np(rb["convs"][di]["bias"]), r, dtype))
+                blocks.append({"convs": convs})
+        stages.append(blocks)
+        r_in = r
+    out["ups"] = ups
+    out["stages"] = stages
+
+    w = _np(params["conv_post"]["weight"])  # (1, C, 7)
+    wf, lo, hi = _fold_regular(w, 1, r_in)
+    out["conv_post"] = _pack(wf, lo, hi, _np(params["conv_post"]["bias"]), r_in, dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# folded forward
+# ---------------------------------------------------------------------------
+
+
+def _fconv(p: FoldedConv, x: jnp.ndarray) -> jnp.ndarray:
+    return (
+        jax.lax.conv_general_dilated(
+            x, p.wf, window_strides=(1,), padding=[p.pad],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            precision=nn.get_matmul_precision(),
+        )
+        + p.bf
+    )
+
+
+def _refold(x: jnp.ndarray, r_from: int, r_to: int) -> jnp.ndarray:
+    """Change fold factor (free reshapes): (B, L/r_from, r_from·C) →
+    (B, L/r_to, r_to·C)."""
+    if r_from == r_to:
+        return x
+    B, Lf, CF = x.shape
+    C = CF // r_from
+    return x.reshape(B, Lf * r_from // r_to, r_to * C)
+
+
+def _mask_rows(x: jnp.ndarray, valid) -> jnp.ndarray:
+    if valid is None:
+        return x
+    t = jnp.arange(x.shape[1], dtype=jnp.int32)[None, :, None]
+    return jnp.where(t < jnp.reshape(valid, (-1, 1, 1)), x, 0.0)
+
+
+def apply_hifigan_folded(
+    folded: dict, cfg: HiFiGANConfig, mel: jnp.ndarray, mel_len=None
+) -> jnp.ndarray:
+    """mel (B, T, num_mels) → waveform (B, T·hop_recovery); same contract
+    as `apply_hifigan` (bucket masking included), folded execution."""
+    folds = stage_folds(cfg)  # static (derived from cfg, not the pytree)
+    n_kernels = len(cfg.resblock_kernel_sizes)
+    valid = mel_len  # folded-domain row count at the current fold
+    x = _mask_rows(mel, valid)
+    x = _fconv(folded["conv_pre"], x)
+    r = 1
+    stride = 1
+    for i, u in enumerate(cfg.upsample_rates):
+        x = jax.nn.leaky_relu(x, LRELU_SLOPE)
+        x = _mask_rows(x, valid)
+        x = _fconv(folded["ups"][i], x)  # fold r → r·u
+        stride *= u
+        r_stage = folds[i]
+        x = _refold(x, r * u, r_stage)
+        r = r_stage
+        valid = None if mel_len is None else mel_len * (stride // r)
+        x = _mask_rows(x, valid)
+        acc = None
+        for j in range(n_kernels):
+            blk = folded["stages"][i][j]
+            h = x
+            if cfg.resblock == "1":
+                for di in range(len(cfg.resblock_dilation_sizes[j])):
+                    y = jax.nn.leaky_relu(h, LRELU_SLOPE)
+                    y = _mask_rows(y, valid)
+                    y = _fconv(blk["convs1"][di], y)
+                    y = jax.nn.leaky_relu(y, LRELU_SLOPE)
+                    y = _mask_rows(y, valid)
+                    y = _fconv(blk["convs2"][di], y)
+                    h = _mask_rows(h + y, valid)
+            else:
+                for di in range(len(cfg.resblock_dilation_sizes[j])):
+                    y = jax.nn.leaky_relu(h, LRELU_SLOPE)
+                    y = _mask_rows(y, valid)
+                    y = _fconv(blk["convs"][di], y)
+                    h = _mask_rows(h + y, valid)
+            acc = h if acc is None else acc + h
+        x = acc / n_kernels
+    x = jax.nn.leaky_relu(x, 0.01)
+    x = _mask_rows(x, valid)
+    x = _fconv(folded["conv_post"], x)  # (B, L/r, r·1)
+    B, Lf, _ = x.shape
+    return jnp.tanh(x).reshape(B, Lf * r)
