@@ -157,9 +157,13 @@ def measure(bf16_vocoder: bool, B: int, n_iter: int = 10, want_flops: bool = Fal
     return audio_sec / dt, dt / n_iter, cfg, flops, real_rtf, model_flops
 
 
-def measure_training(B: int = 16, n_iter: int = 10):
+def measure_training(B: int = 16, n_iter: int = 30, matmul_precision: str = "high"):
     """Full-size teacher-forced train step: steps/sec, MFU, projected
-    hours per 100 LJSpeech epochs (13,100 utterances)."""
+    hours per 100 LJSpeech epochs (13,100 utterances).
+
+    Timing forces a host fetch of the final loss AND a parameter reduction:
+    on the tunneled axon platform ``block_until_ready`` alone can return
+    before a donated-state step chain has fully executed."""
     from spev_tpu.config import ModelConfig, SpevConfig, TrainConfig
     from spev_tpu.parallel.mesh import make_mesh, shard_batch
     from spev_tpu.train.trainer import init_train_state, make_train_step
@@ -167,7 +171,7 @@ def measure_training(B: int = 16, n_iter: int = 10):
     P, M = 128, 768
     cfg = SpevConfig(
         model=ModelConfig(vocab_size=128, max_phonemes=P, max_frames=M),
-        train=TrainConfig(batch_size=B),
+        train=TrainConfig(batch_size=B, matmul_precision=matmul_precision),
     )
     mesh = make_mesh((1,), ("data",))
     state = init_train_state(jax.random.PRNGKey(0), cfg)
@@ -193,14 +197,16 @@ def measure_training(B: int = 16, n_iter: int = 10):
     key = jax.random.PRNGKey(1)
 
     flops = _compiled_flops(step, state, batch, key)
-    state, metrics = step(state, batch, key)  # compile + warm
-    state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
+    for _ in range(3):  # compile (both donation layouts) + warm
+        state, metrics = step(state, batch, key)
+    float(metrics["loss"])
+    float(jnp.asarray(jax.tree.leaves(state.params)[0]).sum())
 
     t0 = time.perf_counter()
     for _ in range(n_iter):
         state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])  # force full chain materialization on host
+    float(jnp.asarray(jax.tree.leaves(state.params)[0]).sum())
     dt = (time.perf_counter() - t0) / n_iter
 
     steps_per_sec = 1.0 / dt
@@ -216,7 +222,8 @@ def main():
         bf16_vocoder=True, B=16, want_flops=True
     )
     parity_rtf, _, _, _, _, _ = measure(bf16_vocoder=False, B=8)
-    train_sps, train_hours, train_mfu = measure_training(B=16)
+    train_sps, train_hours, train_mfu = measure_training(B=16, matmul_precision="high")
+    train_sps_bf16, train_hours_bf16, _ = measure_training(B=16, matmul_precision="default")
     B = 16
     peak = _peak_flops()
     # hw util: executed (folded) FLOPs; MFU: the model's intrinsic FLOPs
@@ -245,6 +252,8 @@ def main():
                 "train_hours_per_100_lj_epochs": round(train_hours, 2),
                 "train_vs_baseline_3090_5h": round(5.0 / train_hours, 2) if train_hours else None,
                 "train_mfu": round(train_mfu, 4) if train_mfu else None,
+                "train_steps_per_sec_bf16": round(train_sps_bf16, 3),
+                "train_hours_per_100_lj_epochs_bf16": round(train_hours_bf16, 2),
                 "device": str(jax.devices()[0]),
             }
         )

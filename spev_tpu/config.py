@@ -143,6 +143,12 @@ class TrainConfig:
     # ``+0.1·L_nasal``, PRODUCTION_SYSTEM_SUMMARY.md:133); active only when
     # model.use_nasality provides a nasal head
     w_nasal: float = 0.1
+    # matmul precision for train/eval steps: 'high' (bf16x3 passes,
+    # ~f32-accurate — the reference-parity default) or 'default' (pure bf16
+    # matmuls with f32 master weights/accumulation elsewhere — ~2.6x faster
+    # on TPU, loss trajectory identical to ~1e-4 over tens of steps;
+    # docs/BENCH.md)
+    matmul_precision: str = "high"
     # two-phase schedule from the documented spev_tts surface (SURVEY §2.9):
     # the first `warmup_epochs` train only mel+duration; variance-predictor
     # losses are enabled afterwards.  0 = single-phase (spev_real_metrics).

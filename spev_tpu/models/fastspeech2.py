@@ -300,11 +300,14 @@ def apply_fastspeech2(
     M = cfg.max_frames
     guard = clamps.duration_guard_max
     if cfg.use_pallas_lr == "auto":
-        # inference/serving graphs only: the fused kernel has no VJP, and
-        # training (dropout on) must stay differentiable end-to-end
+        # serving graphs only: the fused kernel has no VJP, so any graph
+        # that might be differentiated keeps the gather path — that's every
+        # teacher-forced call (training uses teacher forcing even with
+        # dropout off, i.e. deterministic=True) and every non-deterministic
+        # call.
         from spev_tpu.utils.platform import on_tpu
 
-        use_pallas_lr = deterministic and on_tpu()
+        use_pallas_lr = deterministic and not teacher_forced and on_tpu()
     else:
         use_pallas_lr = bool(cfg.use_pallas_lr)
     if use_pallas_lr:

@@ -120,6 +120,9 @@ def make_train_step(
     Returns step(state, batch, rng) -> (state, metrics).  batch arrays are
     sharded on 'data'; params/opt_state follow `param_shardings`.
     """
+    from spev_tpu.models import modules as nn_mod
+
+    nn_mod.set_matmul_precision(cfg.train.matmul_precision)
     opt = make_optimizer(cfg)
     p_sh = param_shardings(mesh, params_example)
     rep = replicated(mesh)
@@ -224,6 +227,9 @@ def make_train_step(
 def make_eval_step(cfg: SpevConfig, mesh, params_example, batch_keys=None) -> Callable:
     """Jitted validation step: reference validate() computes the plain mel L1
     plus pitch+energy aux MSE (``spev_real_metrics.py:619-654``)."""
+    from spev_tpu.models import modules as nn_mod
+
+    nn_mod.set_matmul_precision(cfg.train.matmul_precision)
     p_sh = param_shardings(mesh, params_example)
     b_sh = batch_sharding(mesh)
 

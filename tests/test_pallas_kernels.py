@@ -141,6 +141,14 @@ def test_pallas_lr_auto_resolution():
         fs2.on_tpu = plat.on_tpu  # in case of a direct from-import
         apply_fastspeech2(params, cfg, ids, lens, deterministic=False,
                           dropout_rng=jax.random.PRNGKey(1))
+        # pretend-TPU + teacher-forced (deterministic=True, e.g. the
+        # dropout-off trainer): must stay on the differentiable gather path
+        durs = jnp.where(jnp.arange(16)[None, :] < 10, 4.0, 0.0)
+        zeros = jnp.zeros((1, 16), jnp.float32)
+        apply_fastspeech2(params, cfg, ids, lens, target_durations=durs,
+                          target_pitch=zeros, target_energy=zeros,
+                          target_breath=zeros, target_rough=zeros,
+                          target_bright=zeros)
         # pretend-TPU + deterministic: auto → fused kernel is selected
         with pytest.raises(AssertionError, match="fused kernel"):
             apply_fastspeech2(params, cfg, ids, lens)
