@@ -199,10 +199,108 @@ class Synthesizer:
         self._graphs[key] = run
         return run
 
+    def _acoustic_batch_graph(self, P: int, M: int):
+        """Batched acoustic-only graph with the fused graph's control
+        signature — phase 1 of two-phase serving."""
+        import dataclasses
+
+        key = ("ac-batch", P, M)
+        if key in self._graphs:
+            return self._graphs[key]
+        cfg = dataclasses.replace(self.model_cfg, max_phonemes=P, max_frames=M)
+
+        @jax.jit
+        def run(params, ids, lengths, breath, rough, bright, d, p, e):
+            out = apply_fastspeech2(
+                params, cfg, ids, lengths,
+                target_breath=breath, target_rough=rough, target_bright=bright,
+                d_control=d, p_control=p, e_control=e,
+            )
+            mel = jnp.clip(jnp.nan_to_num(out["mel_pred"], nan=-5.0), -10.0, 2.0)
+            return mel, out["mel_len"]
+
+        self._graphs[key] = run
+        return run
+
     # -- public API ---------------------------------------------------------
 
     def phonemes_to_ids(self, phones) -> np.ndarray:
         return self.vocab.encode(phones, fallback=1)
+
+    def synthesize_batch_two_phase(
+        self,
+        ids_batch: np.ndarray,
+        lengths: np.ndarray,
+        breath: Optional[np.ndarray] = None,
+        rough: Optional[np.ndarray] = None,
+        bright: Optional[np.ndarray] = None,
+        duration_scale: float = 1.0,
+        pitch_scale: float = 1.0,
+        energy_scale: float = 1.0,
+        frame_bucket: Optional[int] = None,
+        quantum: int = 256,
+    ):
+        """Batched synthesis with right-sized vocoder dispatch.
+
+        Phase 1 runs the (cheap) acoustic graph batched at the max frame
+        bucket; the host reads ``mel_len`` (ONE sync per batch); phase 2
+        groups rows by their quantized frame count and runs the (expensive,
+        ~94% of cost) vocoder per group at ``ceil(L/quantum)·quantum``
+        frames with pow-2 batch padding — short requests stop paying for
+        the 2048-frame bucket.  Returns a list of (wav, mel) rows."""
+        if not self.vocoder.is_neural:
+            raise ValueError("two-phase batching requires a HiFi-GAN vocoder")
+        B, P = ids_batch.shape
+        M = frame_bucket or self.frame_buckets[-1]
+        run_ac = self._acoustic_batch_graph(P, M)
+        full = lambda v: None if v is None else jnp.asarray(v)
+        mel, mel_len = run_ac(
+            self.params, jnp.asarray(ids_batch), jnp.asarray(lengths),
+            full(breath), full(rough), full(bright),
+            jnp.float32(duration_scale), jnp.float32(pitch_scale),
+            jnp.float32(energy_scale),
+        )
+        lens = np.asarray(mel_len)  # the batch's single host sync (B ints)
+
+        hop = self.vocoder.generator.cfg.hop_recovery
+        voc_params = self.vocoder.generator.runtime()[1]
+        groups: dict = {}
+        for b, L in enumerate(lens):
+            Mv = min(int(np.ceil(max(int(L), 1) / quantum)) * quantum, M)
+            groups.setdefault(Mv, []).append(b)
+
+        if "two-phase-gather" not in self._graphs:
+            floor = self.audio.mel_clip_min
+
+            def gather(mel, mel_len, idx, Mv):
+                # device-side row gather + frame slice: only the (B,)
+                # lengths cross the host boundary (tunnel RTT lesson,
+                # docs/BENCH.md negative results)
+                g = jnp.take(mel, idx, axis=0)[:, :Mv]
+                gl = jnp.take(mel_len, idx)
+                return (
+                    jnp.where((jnp.arange(Mv) < gl[:, None])[..., None], g, floor),
+                    gl,
+                )
+
+            self._graphs["two-phase-gather"] = jax.jit(gather, static_argnums=(3,))
+        gather = self._graphs["two-phase-gather"]
+
+        wav_groups = []
+        for Mv, rows in sorted(groups.items()):
+            Bp = 1 << (len(rows) - 1).bit_length()  # pow-2 pad bounds compiles
+            idx = jnp.asarray(rows + [rows[-1]] * (Bp - len(rows)), jnp.int32)
+            g_mel, g_len = gather(mel, mel_len, idx, Mv)
+            wav_groups.append((rows, self._vocoder_graph(Mv)(voc_params, g_mel, g_len)))
+
+        mel_np = np.asarray(mel)  # product output transfer, after dispatch
+        results: list = [None] * B
+        for rows, wav_dev in wav_groups:
+            wav = np.asarray(wav_dev)
+            for row_pos, b in enumerate(rows):
+                L = int(lens[b])
+                results[b] = (wav[row_pos, : L * hop], mel_np[b, :L])
+        return results
 
     def synthesize_batch(
         self,
@@ -322,13 +420,23 @@ class Synthesizer:
         texts: Sequence[str],
         batch_size: int = 16,
         frame_bucket: Optional[int] = None,
+        two_phase: bool = False,
         **controls,
     ):
         """Batched long-form synthesis over a transcript set (the reference
         BASELINE's batched-eval configuration): texts are phonemized,
-        grouped by phoneme bucket, run through the fused zero-sync batched
-        graph (HiFi-GAN) or the per-request path (Griffin-Lim), and
-        returned as a list of (waveform, mel) in input order."""
+        grouped by phoneme bucket, then run through the fused zero-sync
+        batched graph (default) or the two-phase path (batched acoustic +
+        right-sized vocoder dispatch, ``two_phase=True``); the Griffin-Lim
+        fallback stays per-request.  Returns (waveform, mel) rows in input
+        order.
+
+        two_phase trades ONE host sync per batch for vocoder right-sizing.
+        On a tunneled TPU (axon) the sync RTT (~45 ms) exceeds the vocoder
+        savings at 768-frame buckets, so fused wins (measured: 101 ms vs
+        145 ms per batch; docs/BENCH.md negative results); on locally
+        attached chips or with 2048-frame buckets and short requests,
+        two_phase wins — flip it per deployment."""
         phones = [self.g2p.phonemes(t) for t in texts]
         ids_list = [self.phonemes_to_ids(p) for p in phones]
         results: list = [None] * len(texts)
@@ -345,13 +453,20 @@ class Synthesizer:
             P = pick_bucket(max(len(ids_list[i]) for i in group), self.phoneme_buckets)
             ids_b = np.stack([pad_to_bucket(ids_list[i], P, self.vocab.pad_id) for i in group])
             lens = np.asarray([len(ids_list[i]) for i in group], np.int32)
-            wav, mel, mel_len = self.synthesize_batch(
-                ids_b, lens, frame_bucket=M, **controls
-            )
-            wav, mel, mel_len = np.asarray(wav), np.asarray(mel), np.asarray(mel_len)
-            for row, i in enumerate(group):
-                L = int(mel_len[row])
-                results[i] = (wav[row, : L * hop], mel[row, :L])
+            if two_phase:
+                rows = self.synthesize_batch_two_phase(
+                    ids_b, lens, frame_bucket=M, **controls
+                )
+                for row, i in enumerate(group):
+                    results[i] = rows[row]
+            else:
+                wav, mel, mel_len = self.synthesize_batch(
+                    ids_b, lens, frame_bucket=M, **controls
+                )
+                wav, mel, mel_len = np.asarray(wav), np.asarray(mel), np.asarray(mel_len)
+                for row, i in enumerate(group):
+                    L = int(mel_len[row])
+                    results[i] = (wav[row, : L * hop], mel[row, :L])
         return results
 
     def synthesize(

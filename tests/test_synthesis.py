@@ -236,3 +236,21 @@ def test_checkpoint_carries_model_config(tmp_path):
     assert synth.model_cfg.vp_output_norm is False
     wav, mel = synth.synthesize("config test", duration_scale=2.0)
     assert np.isfinite(wav).all()
+
+
+def test_two_phase_matches_fused(tmp_path, tiny_gen):
+    """Two-phase batched serving (right-sized vocoder dispatch) must produce
+    the same waveforms as the fused zero-sync graph — the masked vocoder is
+    bucket-invariant, so the only difference is where it is dispatched."""
+    vocab = _vocab()
+    path, cfg = _make_ckpt(tmp_path, vocab)
+    synth = Synthesizer(path, model_cfg=cfg, g2p_backend="rules",
+                        phoneme_buckets=(64,), frame_buckets=(128, 256, 512))
+    synth.vocoder = Vocoder(generator=tiny_gen)
+    texts = ["hi", "a much longer line of text right here", "mid length one", "bye"]
+    fused = synth.synthesize_many(texts, batch_size=4, two_phase=False)
+    two = synth.synthesize_many(texts, batch_size=4, two_phase=True)
+    for (w1, m1), (w2, m2) in zip(fused, two):
+        assert w1.shape == w2.shape and m1.shape == m2.shape
+        np.testing.assert_allclose(m1, m2, atol=1e-5)
+        np.testing.assert_allclose(w1, w2, atol=1e-4)
