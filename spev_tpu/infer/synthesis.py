@@ -70,7 +70,13 @@ class Synthesizer:
         g2p_backend: str = "auto",
         phoneme_buckets: Sequence[int] = DEFAULT_PHONEME_BUCKETS,
         frame_buckets: Sequence[int] = DEFAULT_FRAME_BUCKETS,
+        mesh=None,
     ):
+        """mesh: optional ``jax.sharding.Mesh`` with a 'data' axis — batched
+        serving graphs (`synthesize_batch`/`synthesize_many`) then shard
+        the request batch over it (params/vocoder weights replicated, XLA
+        splits the batch across chips; SURVEY §2.4 serving scale-out).
+        Batch size must be a multiple of the data-axis size."""
         stored_cfg = {}
         if isinstance(checkpoint, tuple):
             params, vocab, stats = checkpoint
@@ -97,7 +103,33 @@ class Synthesizer:
         self.vocoder = Vocoder(hifigan_dir, audio=audio)
         self.phoneme_buckets = tuple(sorted(phoneme_buckets))
         self.frame_buckets = tuple(sorted(frame_buckets))
+        self.mesh = mesh
         self._graphs: Dict[tuple, callable] = {}
+
+    def _batch_jit(self, fn, n_weights: int):
+        """jit a batched serving graph; with a mesh, replicate the first
+        ``n_weights`` (parameter-tree) args and shard every later array arg
+        on the 'data' axis — XLA then splits the batch across chips."""
+        jitted = jax.jit(fn)
+        if self.mesh is None:
+            return jitted
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+        bsh = NamedSharding(self.mesh, P("data"))
+
+        def wrapped(*args):
+            placed = []
+            for i, a in enumerate(args):
+                if i < n_weights:
+                    placed.append(jax.device_put(a, rep))
+                elif hasattr(a, "ndim") and a.ndim >= 1:
+                    placed.append(jax.device_put(a, bsh))
+                else:
+                    placed.append(a)
+            return jitted(*placed)
+
+        return wrapped
 
     # -- compiled graphs ----------------------------------------------------
     #
@@ -185,7 +217,6 @@ class Synthesizer:
         gen = self.vocoder.generator
         vapply, _ = gen.runtime()
 
-        @jax.jit
         def run(params, voc_params, ids, lengths, breath, rough, bright, d, p, e):
             out = apply_fastspeech2(
                 params, cfg, ids, lengths,
@@ -196,8 +227,8 @@ class Synthesizer:
             wav = vapply(voc_params, mel, out["mel_len"])
             return wav, mel, out["mel_len"]
 
-        self._graphs[key] = run
-        return run
+        self._graphs[key] = self._batch_jit(run, n_weights=2)
+        return self._graphs[key]
 
     def _acoustic_batch_graph(self, P: int, M: int):
         """Batched acoustic-only graph with the fused graph's control
@@ -209,7 +240,6 @@ class Synthesizer:
             return self._graphs[key]
         cfg = dataclasses.replace(self.model_cfg, max_phonemes=P, max_frames=M)
 
-        @jax.jit
         def run(params, ids, lengths, breath, rough, bright, d, p, e):
             out = apply_fastspeech2(
                 params, cfg, ids, lengths,
@@ -219,8 +249,8 @@ class Synthesizer:
             mel = jnp.clip(jnp.nan_to_num(out["mel_pred"], nan=-5.0), -10.0, 2.0)
             return mel, out["mel_len"]
 
-        self._graphs[key] = run
-        return run
+        self._graphs[key] = self._batch_jit(run, n_weights=1)
+        return self._graphs[key]
 
     # -- public API ---------------------------------------------------------
 

@@ -120,6 +120,7 @@ def yin_f0(
     frame_length: int = 2048,
     hop_length: int = 512,
     center: bool = True,
+    viterbi: bool = True,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """pyin-lite F0 tracker.
 
@@ -127,7 +128,9 @@ def yin_f0(
     ``librosa.pyin`` call signature/output used by the reference
     (``spev_real_metrics.py:311,369``; note the reference uses hop 512 for
     the stats pass — the pyin default — and 256 for per-file features).
-    Unvoiced frames get f0 = nan like pyin.
+    Unvoiced frames get f0 = nan like pyin.  ``viterbi`` applies the
+    two-state voiced/unvoiced Viterbi smoothing to the flags (the reduced
+    form of pyin's HMM; docs/PARITY.md #2).
     """
     win_length = frame_length // 2
     tau_min = max(1, int(sr / fmax))
@@ -149,14 +152,16 @@ def yin_f0(
 
     # voicing probability: pyin's Beta(2,18) prior over absolute thresholds —
     # the probability mass of thresholds for which at least one trough
-    # qualifies.
+    # qualifies — plus pyin's ``no_trough_prob``: when no trough clears a
+    # sampled threshold, 1% of that threshold's mass still goes to the
+    # voiced hypothesis (librosa pyin default no_trough_prob=0.01).
     thresholds, weights = _beta_threshold_weights()
     min_trough = jnp.min(trough_vals, axis=-1)  # (N,)
-    voiced_prob = jnp.sum(
+    p_any = jnp.sum(
         jnp.asarray(weights)[None, :] * (min_trough[:, None] < jnp.asarray(thresholds)[None, :]),
         axis=-1,
     )
-    voiced_prob = jnp.clip(voiced_prob, 0.0, 1.0)
+    voiced_prob = jnp.clip(p_any + _NO_TROUGH_PROB * (1.0 - p_any), 0.0, 1.0)
 
     # F0 candidate: first trough under the canonical YIN threshold 0.1,
     # falling back to the global minimum (pyin behavior without the HMM).
@@ -180,6 +185,54 @@ def yin_f0(
 
     f0 = sr / jnp.maximum(period, 1e-6)
     f0 = jnp.clip(f0, fmin, fmax)
-    voiced_flag = voiced_prob > 0.5
+    if viterbi:
+        # pyin's HMM, reduced to its voiced/unvoiced backbone: Viterbi over
+        # 2 states with switch probability 0.01 and the per-frame voicing
+        # mass as the observation — isolated spurious flips (a single
+        # unvoiced frame inside a voiced run, or vice versa) get smoothed
+        # exactly as the full HMM's voiced-marginal does.  The F0 track
+        # stays per-frame best-trough (librosa's voiced_prob is likewise
+        # not HMM-smoothed; only flags/f0 decoding are).
+        voiced_flag = _viterbi_voicing(voiced_prob)
+    else:
+        voiced_flag = voiced_prob > 0.5
     f0 = jnp.where(voiced_flag, f0, jnp.nan)
     return f0, voiced_flag, voiced_prob
+
+
+_NO_TROUGH_PROB = 0.01  # librosa pyin default
+_SWITCH_PROB = 0.01  # librosa pyin default voiced<->unvoiced transition
+
+
+def _viterbi_voicing(voiced_prob: jnp.ndarray) -> jnp.ndarray:
+    """Two-state (voiced=1 / unvoiced=0) Viterbi decode of per-frame
+    voicing probabilities; uniform initial state, switch prob 0.01."""
+    eps = 1e-10
+    obs = jnp.stack(
+        [jnp.log(1.0 - voiced_prob + eps), jnp.log(voiced_prob + eps)], axis=-1
+    )  # (N, 2)
+    log_stay = float(np.log(1.0 - _SWITCH_PROB))
+    log_switch = float(np.log(_SWITCH_PROB))
+
+    def fwd(carry, ob):
+        # carry: (2,) best log-prob per state
+        stay = carry + log_stay
+        switch = carry[::-1] + log_switch
+        best = jnp.maximum(stay, switch)
+        ptr = (switch > stay).astype(jnp.int32)  # 1 = came from other state
+        return best + ob, ptr
+
+    init = jnp.log(jnp.asarray([0.5, 0.5])) + obs[0]
+    final, ptrs = jax.lax.scan(fwd, init, obs[1:])  # ptrs: (N-1, 2)
+
+    last = jnp.argmax(final).astype(jnp.int32)
+
+    def back(state, ptr):
+        # carry: state at time t+1; ptr = backpointer into time t+1;
+        # emits the state at t+1, carries the state at t
+        prev = jnp.where(ptr[state] == 1, 1 - state, state)
+        return prev, state
+
+    first, states_tail = jax.lax.scan(back, last, ptrs, reverse=True)
+    states = jnp.concatenate([first[None], states_tail])  # times 0 .. N-1
+    return states.astype(bool)

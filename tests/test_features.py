@@ -87,13 +87,16 @@ def test_voicing_goldens_tone_and_noise():
     sr = 22050
     t = np.arange(sr) / sr
     tone = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
-    f0, _, vp = yin_f0(jnp.asarray(tone), hop_length=256)
+    f0, vf, vp = yin_f0(jnp.asarray(tone), hop_length=256)
     assert np.nanmedian(_mid(f0)) == __import__("pytest").approx(220.0094, abs=0.05)
     np.testing.assert_allclose(_mid(vp), 1.0, atol=1e-6)  # breath target -> 0
+    assert np.asarray(vf)[10:-10].all()  # Viterbi keeps the run voiced
 
     noise = (0.3 * np.random.default_rng(42).standard_normal(sr)).astype(np.float32)
-    _, _, vp_n = yin_f0(jnp.asarray(noise), hop_length=256)
-    np.testing.assert_allclose(_mid(vp_n), 0.0, atol=1e-6)  # breath target -> 1 (clipped 0.8)
+    _, vf_n, vp_n = yin_f0(jnp.asarray(noise), hop_length=256)
+    # pyin no_trough_prob: 1% of each threshold's mass stays voiced
+    np.testing.assert_allclose(_mid(vp_n), 0.01, atol=1e-6)
+    assert not np.asarray(vf_n).any()
 
 
 def test_voicing_golden_noisy_tone_regression():
@@ -106,13 +109,31 @@ def test_voicing_golden_noisy_tone_regression():
     mix = (0.35 * np.sin(2 * np.pi * 150 * t) + 0.15 * rng.standard_normal(sr)).astype(np.float32)
     _, _, vp = yin_f0(jnp.asarray(mix), hop_length=256)
     vp = np.asarray(vp)
-    assert _mid(vp).mean() == __import__("pytest").approx(0.032070, abs=2e-4)
+    assert _mid(vp).mean() == __import__("pytest").approx(0.041749, abs=2e-4)
     np.testing.assert_allclose(
-        vp[[20, 40, 60]], [0.031007, 0.020310, 0.031007], atol=2e-4
+        vp[[20, 40, 60]], [0.040697, 0.030107, 0.040697], atol=2e-4
     )
     # breath target bound for this signal class
     breath = np.clip(1.0 - _mid(vp), 0.0, 0.8)
     assert 0.78 <= breath.mean() <= 0.8
+
+
+def test_viterbi_voicing_smooths_isolated_flips():
+    from spev_tpu.ops.features import _viterbi_voicing
+
+    vp = np.full(40, 0.9, np.float32)
+    vp[20] = 0.2          # isolated dip inside a voiced run
+    flags = np.asarray(_viterbi_voicing(jnp.asarray(vp)))
+    assert flags.all()    # smoothed over
+
+    vp = np.full(40, 0.1, np.float32)
+    vp[20] = 0.8          # isolated spike inside an unvoiced run
+    flags = np.asarray(_viterbi_voicing(jnp.asarray(vp)))
+    assert not flags.any()
+
+    vp = np.concatenate([np.full(20, 0.95), np.full(20, 0.05)]).astype(np.float32)
+    flags = np.asarray(_viterbi_voicing(jnp.asarray(vp)))
+    assert flags[:20].all() and not flags[20:].any()  # real transitions kept
 
 
 def test_voicing_golden_clean_snr_tone():

@@ -254,3 +254,37 @@ def test_two_phase_matches_fused(tmp_path, tiny_gen):
         assert w1.shape == w2.shape and m1.shape == m2.shape
         np.testing.assert_allclose(m1, m2, atol=1e-5)
         np.testing.assert_allclose(w1, w2, atol=1e-4)
+
+
+def test_data_parallel_serving_matches_single_device(tmp_path, tiny_gen):
+    """Synthesizer(mesh=...) shards batched serving over the 'data' axis:
+    outputs must equal the single-device run, and the batch must be
+    physically distributed (serving scale-out, SURVEY §2.4)."""
+    from spev_tpu.parallel.mesh import make_mesh
+
+    vocab = _vocab()
+    path, cfg = _make_ckpt(tmp_path, vocab)
+    mesh = make_mesh((8,), ("data",))
+    kw = dict(model_cfg=cfg, g2p_backend="rules",
+              phoneme_buckets=(64,), frame_buckets=(256,))
+    single = Synthesizer(path, **kw)
+    single.vocoder = Vocoder(generator=tiny_gen)
+    sharded = Synthesizer(path, mesh=mesh, **kw)
+    sharded.vocoder = Vocoder(generator=tiny_gen)
+
+    texts = [f"sample number {i} here" for i in range(8)]
+    phones = [single.g2p.phonemes(t) for t in texts]
+    from spev_tpu.text.vocab import pad_to_bucket
+    ids = np.stack([
+        pad_to_bucket(single.phonemes_to_ids(p), 64, single.vocab.pad_id)
+        for p in phones
+    ])
+    lens = np.asarray([len(p) for p in phones], np.int32)
+
+    w1, m1, l1 = single.synthesize_batch(ids, lens)
+    w2, m2, l2 = sharded.synthesize_batch(ids, lens)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-4)
+    # the output really lives sharded on the mesh
+    assert len(w2.sharding.device_set) == 8
