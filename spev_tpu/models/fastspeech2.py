@@ -310,11 +310,15 @@ def apply_fastspeech2(
         use_pallas_lr = deterministic and not teacher_forced and on_tpu()
     else:
         use_pallas_lr = bool(cfg.use_pallas_lr)
+    nasal_f = None
     if use_pallas_lr:
-        # fused Pallas path: hidden + all five tracks in one kernel
+        # fused Pallas path: hidden + all variance tracks in one kernel
         from spev_tpu.ops.pallas.length_regulator_kernel import length_regulate_fused
 
-        feats = jnp.stack([pitch, energy, breath, rough, bright], axis=-1)
+        tracks = [pitch, energy, breath, rough, bright]
+        if nasal is not None:
+            tracks.append(nasal)
+        feats = jnp.stack(tracks, axis=-1)
         x_expanded, feats_f, mel_len = length_regulate_fused(
             x, feats, durations, M, guard
         )
@@ -322,6 +326,8 @@ def apply_fastspeech2(
             feats_f[..., 0], feats_f[..., 1], feats_f[..., 2],
             feats_f[..., 3], feats_f[..., 4],
         )
+        if nasal is not None:
+            nasal_f = feats_f[..., 5]
     else:
         x_expanded, mel_len = length_regulate(x, durations, M, guard)
         pitch_f = length_regulate_feature(pitch, durations, M, guard)
@@ -350,8 +356,9 @@ def apply_fastspeech2(
         + nn.conv1d(params["bright_embedding"], bright_f[..., None])
     )
     if nasal is not None:
-        # 6th track: expanded separately (the fused kernel is fixed at 5)
-        nasal_f = jnp.clip(length_regulate_feature(nasal, durations, M, guard), 0.0, 1.0)
+        if nasal_f is None:  # gather path: 6th track expanded separately
+            nasal_f = length_regulate_feature(nasal, durations, M, guard)
+        nasal_f = jnp.clip(nasal_f, 0.0, 1.0)
         dec = dec + nn.conv1d(params["nasal_embedding"], nasal_f[..., None])
 
     for block in params["decoder_blocks"]:

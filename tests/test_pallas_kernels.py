@@ -80,6 +80,44 @@ def test_fused_length_regulator_matches_xla():
     np.testing.assert_allclose(np.asarray(fe), fe_ref, atol=1e-5)
 
 
+def test_fused_length_regulator_vjp_matches_gather():
+    """The custom VJP (transposed selection matmul) must produce the same
+    cotangents as differentiating the XLA gather path — including
+    zero-duration phonemes (no gradient) and the all-zero-row guard."""
+    import jax
+    from spev_tpu.ops.length_regulator import length_regulate, length_regulate_feature
+    from spev_tpu.ops.pallas.length_regulator_kernel import length_regulate_fused
+
+    rng = np.random.default_rng(1)
+    B, T, H, F, M = 3, 16, 32, 5, 64
+    x = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((B, T, F)), jnp.float32)
+    d = np.zeros((B, T), np.float32)
+    d[0, :8] = 4
+    d[1, :5] = [3, 0, 7, 2, 1]  # zero-duration phoneme inside a row
+    durs = jnp.asarray(d)       # row 2 all-zero -> one zero frame
+    w = jnp.asarray(rng.standard_normal((M, H)), jnp.float32)
+
+    def loss_fused(x, feats):
+        xo, fo, _ = length_regulate_fused(x, feats, durs, M, interpret=True)
+        return jnp.sum(xo * w) + jnp.sum(fo**2)
+
+    def loss_gather(x, feats):
+        xo, _ = length_regulate(x, durs, M)
+        fo = jnp.stack(
+            [length_regulate_feature(feats[..., i], durs, M) for i in range(F)], -1
+        )
+        return jnp.sum(xo * w) + jnp.sum(fo**2)
+
+    v1, (gx1, gf1) = jax.value_and_grad(loss_fused, argnums=(0, 1))(x, feats)
+    v2, (gx2, gf2) = jax.value_and_grad(loss_gather, argnums=(0, 1))(x, feats)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gf1), np.asarray(gf2), atol=1e-5)
+    # zero-duration phonemes and padded tails receive zero cotangent
+    assert np.all(np.asarray(gx1)[1, 1] == 0) and np.all(np.asarray(gx1)[2] == 0)
+
+
 def test_model_forward_with_pallas_lr_matches():
     """cfg.use_pallas_lr must be output-identical to the gather path."""
     import dataclasses
