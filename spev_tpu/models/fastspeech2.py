@@ -300,14 +300,13 @@ def apply_fastspeech2(
     M = cfg.max_frames
     guard = clamps.duration_guard_max
     if cfg.use_pallas_lr == "auto":
-        # serving graphs only: the fused kernel has no VJP, so any graph
-        # that might be differentiated keeps the gather path — that's every
-        # teacher-forced call (training uses teacher forcing even with
-        # dropout off, i.e. deterministic=True) and every non-deterministic
-        # call.
+        # all TPU graphs: the fused kernel carries a custom VJP (transposed
+        # selection matmul) so gradient contexts are safe — measured
+        # +17% train steps/s in bf16 mode, +4% in bf16x3 parity mode, and
+        # 1.9x on the serving forward vs the XLA gather.
         from spev_tpu.utils.platform import on_tpu
 
-        use_pallas_lr = deterministic and not teacher_forced and on_tpu()
+        use_pallas_lr = on_tpu()
     else:
         use_pallas_lr = bool(cfg.use_pallas_lr)
     nasal_f = None

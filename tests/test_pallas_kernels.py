@@ -149,9 +149,9 @@ def test_model_forward_with_pallas_lr_matches():
 
 
 def test_pallas_lr_auto_resolution():
-    """'auto' uses the fused kernel ONLY for deterministic graphs on TPU:
-    training must keep the differentiable gather path (the kernel has no
-    VJP), and CPU always falls back to gather."""
+    """'auto' selects the fused kernel for ALL graphs on TPU (it has a
+    custom VJP, so gradient contexts are safe) and always falls back to
+    the XLA gather on CPU."""
     import jax
     from spev_tpu.config import ModelConfig
     from spev_tpu.models import fastspeech2 as fs2
@@ -167,29 +167,33 @@ def test_pallas_lr_auto_resolution():
     lens = jnp.asarray([10], jnp.int32)
 
     def boom(*a, **k):
-        raise AssertionError("fused kernel must not be used here")
+        raise AssertionError("fused kernel selected")
 
+    durs = jnp.where(jnp.arange(16)[None, :] < 10, 4.0, 0.0)
+    zeros = jnp.zeros((1, 16), jnp.float32)
     orig_kernel, orig_on_tpu = lrk.length_regulate_fused, plat.on_tpu
     try:
         lrk.length_regulate_fused = boom
-        # CPU (on_tpu False): auto → gather even for deterministic graphs
+        # CPU (on_tpu False): auto → gather for every graph
         apply_fastspeech2(params, cfg, ids, lens)
-        # pretend-TPU: training graphs (deterministic=False) still gather
-        plat.on_tpu = lambda: True
-        fs2.on_tpu = plat.on_tpu  # in case of a direct from-import
-        apply_fastspeech2(params, cfg, ids, lens, deterministic=False,
-                          dropout_rng=jax.random.PRNGKey(1))
-        # pretend-TPU + teacher-forced (deterministic=True, e.g. the
-        # dropout-off trainer): must stay on the differentiable gather path
-        durs = jnp.where(jnp.arange(16)[None, :] < 10, 4.0, 0.0)
-        zeros = jnp.zeros((1, 16), jnp.float32)
         apply_fastspeech2(params, cfg, ids, lens, target_durations=durs,
                           target_pitch=zeros, target_energy=zeros,
                           target_breath=zeros, target_rough=zeros,
                           target_bright=zeros)
-        # pretend-TPU + deterministic: auto → fused kernel is selected
+        # pretend-TPU: every graph selects the fused kernel — serving,
+        # teacher-forced (training), and dropout graphs alike
+        plat.on_tpu = lambda: True
+        fs2.on_tpu = plat.on_tpu  # in case of a direct from-import
         with pytest.raises(AssertionError, match="fused kernel"):
             apply_fastspeech2(params, cfg, ids, lens)
+        with pytest.raises(AssertionError, match="fused kernel"):
+            apply_fastspeech2(params, cfg, ids, lens, target_durations=durs,
+                              target_pitch=zeros, target_energy=zeros,
+                              target_breath=zeros, target_rough=zeros,
+                              target_bright=zeros)
+        with pytest.raises(AssertionError, match="fused kernel"):
+            apply_fastspeech2(params, cfg, ids, lens, deterministic=False,
+                              dropout_rng=jax.random.PRNGKey(1))
     finally:
         lrk.length_regulate_fused = orig_kernel
         plat.on_tpu = orig_on_tpu
