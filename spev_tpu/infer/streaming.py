@@ -60,8 +60,8 @@ def stream_vocode(
     n_mels = mel.shape[1]
     win = ctx + chunk_frames
 
-    vapply, vparams = generator.runtime()
-    run = jax.jit(lambda p, m: vapply(p, m))
+    # cached jit: repeat streams reuse the compiled (ctx+chunk) graph
+    run, vparams = generator.jitted_runtime()
 
     # left-pad with the mel floor so the first chunk has full context
     mel_pad = jnp.concatenate(

@@ -172,7 +172,9 @@ def apply_hifigan(
     e.g. streaming batches), masking is skipped entirely.
     """
     valid = mel_len
-    x = _mask_valid(mel, valid)
+    # compute in the params' dtype (bf16 serving params + f32 mel callers
+    # must not fail on the conv dtype check)
+    x = _mask_valid(mel.astype(params["conv_pre"]["weight"].dtype), valid)
     x = _dilated_conv1d(params["conv_pre"], x, 1)
     n_kernels = len(cfg.resblock_kernel_sizes)
     for i, u in enumerate(cfg.upsample_rates):
@@ -329,6 +331,7 @@ class HiFiGANGenerator:
         self.cfg = cfg
         self.params = params
         self._folded = None
+        self._jitted = {}
 
     @property
     def folded(self) -> dict:
@@ -359,6 +362,20 @@ class HiFiGANGenerator:
             lambda p, mel, mel_len=None: apply_hifigan(p, cfg, mel, mel_len=mel_len),
             self.params,
         )
+
+    def jitted_runtime(self, prefer_folded: "bool | None" = None):
+        """Like `runtime`, but the apply_fn is a cached ``jax.jit`` wrapper.
+
+        Callers that build a fresh jit per invocation (e.g. one stream =
+        one `stream_vocode` call) would otherwise re-trace every time —
+        measured 4.4 s per stream start vs ~40 ms with the cache."""
+        from spev_tpu.utils.platform import on_tpu
+
+        key = on_tpu() if prefer_folded is None else bool(prefer_folded)
+        if key not in self._jitted:
+            apply_fn, params = self.runtime(prefer_folded=key)
+            self._jitted[key] = (jax.jit(apply_fn), params)
+        return self._jitted[key]
 
     @staticmethod
     def from_pretrained(directory: str) -> "HiFiGANGenerator":

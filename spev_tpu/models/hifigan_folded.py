@@ -269,7 +269,9 @@ def apply_hifigan_folded(
     folds = stage_folds(cfg)  # static (derived from cfg, not the pytree)
     n_kernels = len(cfg.resblock_kernel_sizes)
     valid = mel_len  # folded-domain row count at the current fold
-    x = _mask_rows(mel, valid)
+    # compute in the folded weights' dtype (bf16 serving params + f32 mel
+    # callers — e.g. streaming — must not fail on the conv dtype check)
+    x = _mask_rows(mel.astype(folded["conv_pre"].wf.dtype), valid)
     x = _fconv(folded["conv_pre"], x)
     r = 1
     stride = 1

@@ -53,6 +53,26 @@ def test_chunk_latency_shape(gen):
     assert [len(c) for c in chunks] == [16 * hop, 16 * hop, 1 * hop]
 
 
+def test_stream_bf16_params_f32_mel(gen):
+    """bf16 serving params + f32 mel must not fail the conv dtype check
+    (both vocoder paths cast the input to the params' dtype), and repeat
+    streams must reuse ONE cached jitted graph."""
+    gen16 = HiFiGANGenerator(gen.cfg, jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), gen.params))
+    mel = jnp.zeros((20, 8), jnp.float32) - 4.0
+    out1 = np.concatenate(list(stream_vocode(gen16, mel, chunk_frames=16)))
+    assert out1.shape[0] == 20 * gen.cfg.hop_recovery
+    assert np.all(np.isfinite(out1))
+    # folded path too (explicitly, regardless of platform)
+    run_f, vparams_f = gen16.jitted_runtime(prefer_folded=True)
+    wav = run_f(vparams_f, mel[None])
+    assert np.all(np.isfinite(np.asarray(wav, np.float32)))
+    # the cached jit wrapper is stable across calls (no per-stream re-jit)
+    run_a, _ = gen16.jitted_runtime()
+    run_b, _ = gen16.jitted_runtime()
+    assert run_a is run_b
+
+
 def test_split_clauses():
     cs = split_clauses("Hello there, my friend. How are you today? Good.")
     assert len(cs) >= 2
