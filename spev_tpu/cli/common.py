@@ -1,11 +1,30 @@
-"""Shared CLI plumbing: training loop driver and synthesis output writing."""
+"""Shared CLI plumbing: training loop driver, synthesis output writing,
+and the user-error guard that turns expected failures into clean exits."""
 
 from __future__ import annotations
 
+import functools
 import os
+import sys
 from typing import Optional
 
 import numpy as np
+
+
+def cli_guard(fn):
+    """Print expected user errors (bad paths, bad flag values) as a single
+    ``error: ...`` line and exit 2 instead of dumping a traceback.
+    Unexpected exceptions still propagate with their full traceback."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (FileNotFoundError, NotADirectoryError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            raise SystemExit(2)
+
+    return wrapper
 
 
 def run_training(args, warmup_epochs: int = 0, model_overrides: Optional[dict] = None) -> None:

@@ -20,9 +20,12 @@ reference carries over without rerunning.
 from __future__ import annotations
 
 import argparse
+
+from spev_tpu.cli.common import cli_guard
 import os
 
 
+@cli_guard
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="spev-convert")
     sub = p.add_subparsers(dest="cmd", required=True)

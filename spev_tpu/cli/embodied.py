@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import argparse
 
+from spev_tpu.cli.common import cli_guard
+
 from spev_tpu.utils.wavio import write_wav
 
 STATIC_EMOTIONS = ["neutral", "exhausted", "excited", "secretive", "angry"]
@@ -37,10 +39,12 @@ def _run(temporal: bool, argv=None) -> None:
     print(f"Output saved to {args.output}")
 
 
+@cli_guard
 def main(argv=None) -> None:
     _run(temporal=False, argv=argv)
 
 
+@cli_guard
 def temporal_main(argv=None) -> None:
     _run(temporal=True, argv=argv)
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import argparse
 
-from spev_tpu.cli.common import run_training, write_outputs
+from spev_tpu.cli.common import cli_guard, run_training, write_outputs
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -34,6 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+@cli_guard
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     from spev_tpu.utils.cache import enable_compilation_cache

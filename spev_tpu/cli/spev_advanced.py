@@ -14,7 +14,7 @@ import argparse
 
 import numpy as np
 
-from spev_tpu.cli.common import run_training, write_outputs
+from spev_tpu.cli.common import cli_guard, run_training, write_outputs
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -135,6 +135,7 @@ def synthesize_advanced(args):
     return wav, mel
 
 
+@cli_guard
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     from spev_tpu.utils.cache import enable_compilation_cache
@@ -150,10 +151,12 @@ def main(argv=None) -> None:
         write_outputs(wav, mel, args.output)
 
 
+@cli_guard
 def train_main(argv=None) -> None:
     main(["--mode", "train"] + (argv or []))
 
 
+@cli_guard
 def infer_main(argv=None) -> None:
     main(["--mode", "infer"] + (argv or []))
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import argparse
 
-from spev_tpu.cli.common import run_training, write_outputs
+from spev_tpu.cli.common import cli_guard, run_training, write_outputs
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -36,6 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+@cli_guard
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     from spev_tpu.utils.cache import enable_compilation_cache
@@ -51,6 +52,7 @@ def main(argv=None) -> None:
         inference_mode(args)
 
 
+@cli_guard
 def inference_mode(args=None, argv=None) -> None:
     if args is None:
         args = build_parser().parse_args(argv)

@@ -13,6 +13,8 @@ download the result of.
 from __future__ import annotations
 
 import argparse
+
+from spev_tpu.cli.common import cli_guard
 import glob
 import os
 import random
@@ -20,6 +22,7 @@ import random
 import numpy as np
 
 
+@cli_guard
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="spev-vocoder-train")
     p.add_argument("--data_dir", required=True, help="directory of wav files")
