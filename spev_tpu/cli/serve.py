@@ -12,6 +12,10 @@ A dependency-free (stdlib http.server) endpoint over the compiled
                         "emotion": "exhausted" (optional, overrides knobs),
                         "speaker": 3 (optional, advanced checkpoints)}
         → audio/wav bytes
+    POST /synthesize_stream   same body → audio/wav with streaming-size
+        header (RIFF sizes 0xFFFFFFFF), PCM flushed clause-by-clause as
+        each segment is synthesized (time-to-first-audio ≈ one clause
+        instead of the full utterance); connection close ends the stream
     GET  /healthz      → {"status": "ok", "vocoder": "hifigan"|"griffin-lim"}
 
 Graphs are compiled on first request per bucket and cached (use the
@@ -43,6 +47,23 @@ def _wav_bytes(audio: np.ndarray, sr: int = 22050) -> bytes:
     return buf.getvalue()
 
 
+def _wav_stream_header(sr: int = 22050) -> bytes:
+    """RIFF/WAVE header with the streaming-size convention (0xFFFFFFFF
+    chunk sizes): players treat the data chunk as open-ended and read
+    until the connection closes."""
+    import struct
+
+    return b"".join([
+        b"RIFF", struct.pack("<I", 0xFFFFFFFF), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16),
+        b"data", struct.pack("<I", 0xFFFFFFFF),
+    ])
+
+
+def _pcm16(audio: np.ndarray) -> bytes:
+    return (np.clip(audio, -1, 1) * 32767.0).astype("<i2").tobytes()
+
+
 def make_handler(synth, lock: threading.Lock):
     from spev_tpu.agents.prosody import ProsodyPolicy
 
@@ -67,39 +88,66 @@ def make_handler(synth, lock: threading.Lock):
             else:
                 self._json(404, {"error": "unknown path"})
 
+        def _parse_request(self):
+            n = int(self.headers.get("Content-Length", "0"))
+            req = json.loads(self.rfile.read(n) or b"{}")
+            text = req.get("text", "")
+            kw = {}
+            if "emotion" in req:
+                knobs = policy.get_knobs(req["emotion"])
+                kw = dict(
+                    breathiness=knobs["breathiness"], roughness=knobs["roughness"],
+                    brightness=knobs["brightness"], pitch_scale=knobs["pitch_scale"],
+                    duration_scale=knobs["duration_scale"],
+                )
+            for k in ("breathiness", "roughness", "brightness",
+                      "pitch_scale", "duration_scale", "energy_scale"):
+                if k in req:
+                    kw[k] = float(req[k])
+            return text, kw
+
         def do_POST(self):
-            if self.path != "/synthesize":
+            if self.path not in ("/synthesize", "/synthesize_stream"):
                 self._json(404, {"error": "unknown path"})
                 return
             try:
-                n = int(self.headers.get("Content-Length", "0"))
-                req = json.loads(self.rfile.read(n) or b"{}")
-                text = req.get("text", "")
+                text, kw = self._parse_request()
                 if not text.strip():
                     self._json(400, {"error": "missing 'text'"})
                     return
-                kw = {}
-                if "emotion" in req:
-                    knobs = policy.get_knobs(req["emotion"])
-                    kw = dict(
-                        breathiness=knobs["breathiness"], roughness=knobs["roughness"],
-                        brightness=knobs["brightness"], pitch_scale=knobs["pitch_scale"],
-                        duration_scale=knobs["duration_scale"],
-                    )
-                for k in ("breathiness", "roughness", "brightness",
-                          "pitch_scale", "duration_scale", "energy_scale"):
-                    if k in req:
-                        kw[k] = float(req[k])
-                with lock:
-                    wav, _ = synth.synthesize(text, **kw)
-                body = _wav_bytes(wav, synth.audio.sample_rate)
+                if self.path == "/synthesize":
+                    with lock:
+                        wav, _ = synth.synthesize(text, **kw)
+                    body = _wav_bytes(wav, synth.audio.sample_rate)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                # streaming: header immediately, PCM per synthesized clause;
+                # no Content-Length — the closed connection ends the stream
+                from spev_tpu.infer.streaming import stream_text
+
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
-                self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
-                self.wfile.write(body)
+                self.wfile.write(_wav_stream_header(synth.audio.sample_rate))
+                self.wfile.flush()
+                it = stream_text(synth, text, **kw)
+                while True:
+                    with lock:  # one compute stream: lock per clause
+                        try:
+                            clause_wav = next(it)
+                        except StopIteration:
+                            break
+                    self.wfile.write(_pcm16(clause_wav))
+                    self.wfile.flush()
             except Exception as e:  # serving endpoint: report, don't die
-                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                try:
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                except Exception:
+                    pass  # headers already sent mid-stream; just drop
 
         def log_message(self, fmt, *args):
             print(f"[serve] {self.address_string()} {fmt % args}")

