@@ -74,9 +74,15 @@ def run_training(args, warmup_epochs: int = 0, model_overrides: Optional[dict] =
     for epoch in range(trainer.epoch, cfg.train.epochs):
         metrics = trainer.train_epoch(train_b.epoch(epoch))
         val_loss = trainer.validate(val_b.epoch(0), save_plot_epoch=epoch)
-        log_metrics(trainer.log_dir, epoch, {**metrics, "val_mel": val_loss})
+        quality = getattr(trainer, "last_quality", {}) or {}
+        log_metrics(trainer.log_dir, epoch, {**metrics, "val_mel": val_loss, **quality})
+        qstr = ""
+        if "val_mcd_db" in quality:
+            qstr = f" | MCD {quality['val_mcd_db']:.2f} dB"
+            if "val_dur_err_pct" in quality:
+                qstr += f" | dur err {quality['val_dur_err_pct']:.1f}%"
         print(
-            f"Epoch {epoch + 1}: train {metrics['train_loss']:.4f} | val mel {val_loss:.4f}"
+            f"Epoch {epoch + 1}: train {metrics['train_loss']:.4f} | val mel {val_loss:.4f}{qstr}"
         )
         trainer.save("last")
         if trainer.maybe_save_best(val_loss):

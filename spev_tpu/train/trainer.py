@@ -262,6 +262,8 @@ def make_eval_step(cfg: SpevConfig, mesh, params_example, batch_keys=None) -> Ca
             "mel_pred_0": outputs["mel_pred"][0],
             "mel_target_0": batch["mel"][0],
             "mel_len_0": batch["mel_lens"][0],
+            # full-batch duration predictions for the quality dashboard
+            "log_dur_pred": outputs["log_duration_pred"],
         }
 
     if batch_keys is None:
@@ -376,6 +378,7 @@ class Trainer:
 
     def validate(self, batches: Iterable[dict], save_plot_epoch: Optional[int] = None) -> float:
         tot, aux, n = 0.0, 0.0, 0
+        self.last_quality = {}
         for i, batch in enumerate(batches):
             m = self._get_eval_step(batch)(self.state.params, batch)
             v = float(m["val_mel"])
@@ -383,16 +386,41 @@ class Trainer:
                 tot += v
                 aux += float(m["val_aux"])
                 n += 1
-            if i == 0 and save_plot_epoch is not None:
-                from spev_tpu.diag.plots import save_comparison_plot
+            if i == 0:
+                self.last_quality = self._first_batch_quality(m, batch)
+                if save_plot_epoch is not None:
+                    from spev_tpu.diag.plots import save_comparison_plot
 
-                L = int(m["mel_len_0"])
-                save_comparison_plot(
-                    np.asarray(m["mel_target_0"])[:L].T,
-                    np.asarray(m["mel_pred_0"])[:L].T,
-                    os.path.join(self.log_dir, f"val_{save_plot_epoch}.png"),
-                )
+                    L = int(m["mel_len_0"])
+                    save_comparison_plot(
+                        np.asarray(m["mel_target_0"])[:L].T,
+                        np.asarray(m["mel_pred_0"])[:L].T,
+                        os.path.join(self.log_dir, f"val_{save_plot_epoch}.png"),
+                    )
         return tot / max(n, 1)
+
+    def _first_batch_quality(self, m: dict, batch: dict) -> dict:
+        """Objective quality on the first val batch, against the reference's
+        documented targets (``PRODUCTION_SYSTEM_SUMMARY.md:227-231``: MCD
+        < 6.0 dB, duration error < 10%) — targets the reference states but
+        cannot measure."""
+        from spev_tpu.diag.quality import duration_error_pct, mel_cepstral_distortion
+
+        out = {}
+        try:
+            L = int(m["mel_len_0"])
+            out["val_mcd_db"] = float(mel_cepstral_distortion(
+                np.asarray(m["mel_pred_0"])[:L], np.asarray(m["mel_target_0"])[:L]))
+            # teacher-forced duration decode vs target frames on valid phonemes
+            ld = np.asarray(m["log_dur_pred"], np.float32)
+            pred = np.round(np.clip(np.exp(ld) - 1.0, 0.0, 500.0))
+            tgt = np.asarray(batch["durs"], np.float32)
+            mask = tgt > 0
+            if mask.any():
+                out["val_dur_err_pct"] = float(duration_error_pct(pred[mask], tgt[mask]))
+        except Exception:
+            pass  # quality dashboard must never fail validation
+        return out
 
     def save(self, name: str = "last") -> str:
         from spev_tpu.train.checkpoint import model_config_dict, save_checkpoint

@@ -67,6 +67,37 @@ def test_folded_matches_standard(make_cfg):
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+def wide_v1():
+    """Initial channels high enough that stage 0 folds at r=1 — exercises
+    the rhs-dilated branch of `_fold_regular` (wide stages keep their k
+    taps + rhs_dilation instead of a dense scattered kernel)."""
+    return HiFiGANConfig(
+        resblock="1",
+        upsample_rates=(2, 2),
+        upsample_kernel_sizes=(4, 4),
+        upsample_initial_channel=256,
+        resblock_kernel_sizes=(3, 11),
+        resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
+        num_mels=8,
+    )
+
+
+def test_folded_rhs_dilated_wide_stage_matches():
+    cfg = wide_v1()
+    assert stage_folds(cfg)[0] == 1  # stage 0 stays unfolded (128 ch)
+    params = init_hifigan(jax.random.PRNGKey(2), cfg)
+    folded = fold_hifigan(params, cfg)
+    # the wide stage's dilated convs must carry rhs_dilation, not a
+    # scattered dense kernel
+    dilated = folded["stages"][0][1]["convs1"][2]  # k=11, d=5 conv
+    assert dilated.dil == 5 and dilated.wf.shape[0] == 11
+    rng = np.random.default_rng(2)
+    mel = jnp.asarray(np.clip(rng.standard_normal((2, 16, cfg.num_mels)) - 4, -10, 2).astype(np.float32))
+    ref = np.asarray(apply_hifigan(params, cfg, mel))
+    out = np.asarray(apply_hifigan_folded(folded, cfg, mel))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
 def test_folded_matches_standard_masked():
     """Bucket masking (mel_len) must stay row-exact through the folds."""
     cfg = tiny_v1()
