@@ -466,7 +466,15 @@ class Synthesizer:
         savings at 768-frame buckets, so fused wins (measured: 101 ms vs
         145 ms per batch; docs/BENCH.md negative results); on locally
         attached chips or with 2048-frame buckets and short requests,
-        two_phase wins — flip it per deployment."""
+        two_phase wins — flip it per deployment.
+
+        When ``frame_bucket`` is None the fused path picks each group's
+        frame bucket from its phoneme count (~10 frames/phoneme estimate
+        scaled by duration_scale): short-request groups run small graphs
+        instead of the largest bucket, with zero extra host syncs — the
+        mel_len fetch that slicing needs anyway doubles as the saturation
+        check, and a group whose length regulator saturated its bucket is
+        re-run at the next one (rare: the estimate overshoots)."""
         phones = [self.g2p.phonemes(t) for t in texts]
         ids_list = [self.phonemes_to_ids(p) for p in phones]
         results: list = [None] * len(texts)
@@ -490,10 +498,27 @@ class Synthesizer:
                 for row, i in enumerate(group):
                     results[i] = rows[row]
             else:
-                wav, mel, mel_len = self.synthesize_batch(
-                    ids_b, lens, frame_bucket=M, **controls
-                )
-                wav, mel, mel_len = np.asarray(wav), np.asarray(mel), np.asarray(mel_len)
+                if frame_bucket is None:
+                    d_scale = float(controls.get("duration_scale", 1.0))
+                    est = int(np.ceil(int(lens.max()) * 10 * max(d_scale, 0.1))) + 16
+                    M_group = pick_bucket(
+                        min(est, self.frame_buckets[-1]), self.frame_buckets
+                    )
+                else:
+                    M_group = M
+                while True:
+                    wav, mel, mel_len = self.synthesize_batch(
+                        ids_b, lens, frame_bucket=M_group, **controls
+                    )
+                    wav, mel, mel_len = np.asarray(wav), np.asarray(mel), np.asarray(mel_len)
+                    # mel_len == bucket ⇒ the length regulator may have
+                    # truncated: escalate (unless already at the largest
+                    # bucket or the caller pinned one)
+                    if (frame_bucket is not None
+                            or M_group >= self.frame_buckets[-1]
+                            or (mel_len < M_group).all()):
+                        break
+                    M_group = self.frame_buckets[self.frame_buckets.index(M_group) + 1]
                 for row, i in enumerate(group):
                     L = int(mel_len[row])
                     results[i] = (wav[row, : L * hop], mel[row, :L])

@@ -215,6 +215,42 @@ def test_synthesize_many_batched(tmp_path, tiny_gen):
     assert results[1][1].shape[0] >= results[0][1].shape[0]
 
 
+def test_synthesize_many_adaptive_buckets(tmp_path, tiny_gen):
+    """With frame_bucket=None each group picks its bucket from phoneme
+    count; outputs must match a pinned-largest-bucket run exactly (the
+    masked vocoder is bucket-invariant), and a group that saturates its
+    estimated bucket escalates to the next one."""
+    vocab = _vocab()
+    path, cfg = _make_ckpt(tmp_path, vocab)
+    synth = Synthesizer(path, model_cfg=cfg, g2p_backend="rules",
+                        phoneme_buckets=(64,), frame_buckets=(64, 128, 256))
+    synth.vocoder = Vocoder(generator=tiny_gen)
+    texts = ["hi", "a much longer line of text right here", "mid one"]
+    adaptive = synth.synthesize_many(texts, batch_size=2)
+    pinned = synth.synthesize_many(texts, batch_size=2, frame_bucket=256)
+    for (w1, m1), (w2, m2) in zip(adaptive, pinned):
+        assert w1.shape == w2.shape and m1.shape == m2.shape
+        np.testing.assert_allclose(m1, m2, atol=1e-5)
+        np.testing.assert_allclose(w1, w2, atol=1e-4)
+
+    # saturation path: ~19 frames/phoneme beats the 10/ph estimate, so the
+    # first bucket saturates and the group must escalate, not truncate
+    params = init_fastspeech2(jax.random.PRNGKey(0),
+                              ModelConfig(vocab_size=len(vocab), embed_dim=H,
+                                          hidden_dim=H, n_mels=NMEL))
+    params["duration_predictor"]["output_norm"]["bias"] = jnp.asarray([3.0])
+    path2 = str(tmp_path / "longdur.spev")
+    save_checkpoint(path2, params, vocab=vocab.symbols, stats={})
+    synth2 = Synthesizer(path2, model_cfg=cfg, g2p_backend="rules",
+                         phoneme_buckets=(64,), frame_buckets=(64, 128, 256))
+    synth2.vocoder = Vocoder(generator=tiny_gen)
+    (wav_a, mel_a), = synth2.synthesize_many(["hello sir"], batch_size=1)
+    (wav_p, mel_p), = synth2.synthesize_many(["hello sir"], batch_size=1,
+                                             frame_bucket=256)
+    assert mel_a.shape == mel_p.shape  # escalated, not truncated
+    np.testing.assert_allclose(mel_a, mel_p, atol=1e-5)
+
+
 def test_checkpoint_carries_model_config(tmp_path):
     """A checkpoint trained with non-default architecture (tiny dims,
     functional predictors) must serve without manual config plumbing."""
