@@ -12,9 +12,11 @@ the numerical ground truth the kernels are tested against):
   the ≤ n_fft/hop shifted frame slices — replaces the XLA scatter-add.
 
 - `length_regulate_fused`: length regulation as a one-hot matmul on the
-  MXU, expanding the hidden states and all five variance tracks in one
-  VMEM pass (the XLA path is a gather on the scalar/vector units; the
-  reference needed six host loops).
+  MXU, expanding the hidden states and all variance tracks in one VMEM
+  pass (the XLA path is a gather on the scalar/vector units; the
+  reference needed six host loops).  Differentiable: a custom VJP runs
+  the transposed selection matmul as a second kernel, so training graphs
+  use it too.
 """
 
 from spev_tpu.ops.pallas.kernels import fused_log_mel, overlap_add
