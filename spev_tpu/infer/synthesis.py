@@ -40,6 +40,21 @@ DEFAULT_PHONEME_BUCKETS = (64, 128, 256)
 DEFAULT_FRAME_BUCKETS = (256, 512, 1024, 2048)
 
 
+def _control(value, B: int):
+    """A d/p/e control as a traced graph input: scalar (whole batch) or a
+    length-B vector (per request) — broadcast as (B, 1) against (B, P)
+    predictions inside the model."""
+    arr = np.asarray(value, np.float32)
+    if arr.ndim == 0:
+        return jnp.float32(arr)
+    if arr.shape != (B,):
+        raise ValueError(
+            f"per-request control must be a scalar or a length-{B} vector; "
+            f"got shape {arr.shape}"
+        )
+    return jnp.asarray(arr).reshape(B, 1)
+
+
 def _load_any_checkpoint(path: str):
     """(params, vocab list, stats) from .spev or reference .pt."""
     if not os.path.exists(path):
@@ -287,8 +302,8 @@ class Synthesizer:
         mel, mel_len = run_ac(
             self.params, jnp.asarray(ids_batch), jnp.asarray(lengths),
             full(breath), full(rough), full(bright),
-            jnp.float32(duration_scale), jnp.float32(pitch_scale),
-            jnp.float32(energy_scale),
+            _control(duration_scale, B), _control(pitch_scale, B),
+            _control(energy_scale, B),
         )
         lens = np.asarray(mel_len)  # the batch's single host sync (B ints)
 
@@ -346,7 +361,10 @@ class Synthesizer:
     ):
         """Batched zero-host-sync synthesis (HiFi-GAN only): ids (B, P) →
         (wav (B, M·hop), mel (B, M, n_mels), mel_len (B,)) as device
-        arrays; slice per sample with mel_len on the host."""
+        arrays; slice per sample with mel_len on the host.
+
+        duration/pitch/energy_scale accept a scalar (whole batch) or a
+        (B,)-vector (per request — mixed workloads in one batch)."""
         if not self.vocoder.is_neural:
             raise ValueError("synthesize_batch requires a HiFi-GAN vocoder")
         B, P = ids_batch.shape
@@ -361,9 +379,9 @@ class Synthesizer:
             full(breath),
             full(rough),
             full(bright),
-            jnp.float32(duration_scale),
-            jnp.float32(pitch_scale),
-            jnp.float32(energy_scale),
+            _control(duration_scale, B),
+            _control(pitch_scale, B),
+            _control(energy_scale, B),
         )
 
     def synthesize_ids(
@@ -485,21 +503,35 @@ class Synthesizer:
 
         hop = self.vocoder.generator.cfg.hop_recovery
         M = frame_bucket or self.frame_buckets[-1]
+        # per-request scale vectors (len == len(texts)) are sliced per group
+        per_req = {}
+        for k in ("duration_scale", "pitch_scale", "energy_scale"):
+            v = controls.get(k)
+            if v is not None and np.ndim(v) == 1:
+                v = np.asarray(v, np.float32)
+                if len(v) != len(texts):
+                    raise ValueError(
+                        f"per-request {k} must have one value per text "
+                        f"({len(texts)}); got {len(v)}"
+                    )
+                per_req[k] = v
         order = sorted(range(len(texts)), key=lambda i: len(ids_list[i]))
         for start in range(0, len(order), batch_size):
             group = order[start : start + batch_size]
+            g_controls = {**controls,
+                          **{k: v[group] for k, v in per_req.items()}}
             P = pick_bucket(max(len(ids_list[i]) for i in group), self.phoneme_buckets)
             ids_b = np.stack([pad_to_bucket(ids_list[i], P, self.vocab.pad_id) for i in group])
             lens = np.asarray([len(ids_list[i]) for i in group], np.int32)
             if two_phase:
                 rows = self.synthesize_batch_two_phase(
-                    ids_b, lens, frame_bucket=M, **controls
+                    ids_b, lens, frame_bucket=M, **g_controls
                 )
                 for row, i in enumerate(group):
                     results[i] = rows[row]
             else:
                 if frame_bucket is None:
-                    d_scale = float(controls.get("duration_scale", 1.0))
+                    d_scale = float(np.max(g_controls.get("duration_scale", 1.0)))
                     est = int(np.ceil(int(lens.max()) * 10 * max(d_scale, 0.1))) + 16
                     M_group = pick_bucket(
                         min(est, self.frame_buckets[-1]), self.frame_buckets
@@ -508,7 +540,7 @@ class Synthesizer:
                     M_group = M
                 while True:
                     wav, mel, mel_len = self.synthesize_batch(
-                        ids_b, lens, frame_bucket=M_group, **controls
+                        ids_b, lens, frame_bucket=M_group, **g_controls
                     )
                     wav, mel, mel_len = np.asarray(wav), np.asarray(mel), np.asarray(mel_len)
                     # mel_len == bucket ⇒ the length regulator may have

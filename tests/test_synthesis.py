@@ -251,6 +251,29 @@ def test_synthesize_many_adaptive_buckets(tmp_path, tiny_gen):
     np.testing.assert_allclose(mel_a, mel_p, atol=1e-5)
 
 
+def test_synthesize_many_per_request_controls(tmp_path, tiny_gen):
+    """duration/pitch/energy_scale accept one value per text; each row
+    must match a separate run with that scalar."""
+    vocab = _vocab()
+    path, cfg = _make_ckpt(tmp_path, vocab)
+    synth = Synthesizer(path, model_cfg=cfg, g2p_backend="rules",
+                        phoneme_buckets=(64,), frame_buckets=(256,))
+    synth.vocoder = Vocoder(generator=tiny_gen)
+    texts = ["same text here", "same text here"]
+    mixed = synth.synthesize_many(texts, batch_size=2,
+                                  duration_scale=np.asarray([1.0, 2.0]),
+                                  pitch_scale=np.asarray([1.0, 1.5]))
+    solo1 = synth.synthesize_many([texts[0]], batch_size=1,
+                                  duration_scale=1.0, pitch_scale=1.0)
+    solo2 = synth.synthesize_many([texts[1]], batch_size=1,
+                                  duration_scale=2.0, pitch_scale=1.5)
+    assert mixed[1][1].shape[0] > mixed[0][1].shape[0]  # 2x duration
+    np.testing.assert_allclose(mixed[0][1], solo1[0][1], atol=1e-5)
+    np.testing.assert_allclose(mixed[1][1], solo2[0][1], atol=1e-5)
+    with pytest.raises(ValueError, match="per-request"):
+        synth.synthesize_many(texts, duration_scale=np.asarray([1.0, 2.0, 3.0]))
+
+
 def test_checkpoint_carries_model_config(tmp_path):
     """A checkpoint trained with non-default architecture (tiny dims,
     functional predictors) must serve without manual config plumbing."""
