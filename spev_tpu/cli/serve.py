@@ -20,8 +20,11 @@ A dependency-free (stdlib http.server) endpoint over the compiled
 
 Graphs are compiled on first request per bucket and cached (use the
 persistent compilation cache to make cold starts fast across restarts).
-Requests are serialized through a lock — one TPU, one compute stream; for
-throughput serving batch via `Synthesizer.synthesize_many`.
+Concurrent /synthesize requests are coalesced into one device batch
+(`infer/batching.CoalescingBatcher`, ``--max_batch``/``--batch_window_ms``;
+per-request controls ride the same graph) — the fused serving graph is
+~5× more efficient at batch 16 than at batch 1.  Streaming requests
+serialize through a lock.
 """
 
 from __future__ import annotations
@@ -64,7 +67,7 @@ def _pcm16(audio: np.ndarray) -> bytes:
     return (np.clip(audio, -1, 1) * 32767.0).astype("<i2").tobytes()
 
 
-def make_handler(synth, lock: threading.Lock):
+def make_handler(synth, lock: threading.Lock, batcher=None):
     from spev_tpu.agents.prosody import ProsodyPolicy
 
     policy = ProsodyPolicy()
@@ -116,8 +119,11 @@ def make_handler(synth, lock: threading.Lock):
                     self._json(400, {"error": "missing 'text'"})
                     return
                 if self.path == "/synthesize":
-                    with lock:
-                        wav, _ = synth.synthesize(text, **kw)
+                    if batcher is not None:
+                        wav, _ = batcher.submit(text, **kw)
+                    else:
+                        with lock:
+                            wav, _ = synth.synthesize(text, **kw)
                     body = _wav_bytes(wav, synth.audio.sample_rate)
                     self.send_response(200)
                     self.send_header("Content-Type", "audio/wav")
@@ -162,6 +168,12 @@ def main(argv=None) -> None:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8571)
     p.add_argument("--g2p", default="auto")
+    p.add_argument("--max_batch", type=int, default=16,
+                   help="coalesce up to this many concurrent /synthesize "
+                        "requests into one device batch (0 disables)")
+    p.add_argument("--batch_window_ms", type=float, default=5.0,
+                   help="how long to wait after the first queued request "
+                        "for a batch to form")
     args = p.parse_args(argv)
 
     from spev_tpu.utils.cache import enable_compilation_cache
@@ -170,9 +182,19 @@ def main(argv=None) -> None:
     from spev_tpu.infer.synthesis import Synthesizer
 
     synth = Synthesizer(args.checkpoint, hifigan_dir=args.hifigan_dir, g2p_backend=args.g2p)
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(synth, threading.Lock()))
+    batcher = None
+    if args.max_batch > 0:
+        from spev_tpu.infer.batching import CoalescingBatcher
+
+        batcher = CoalescingBatcher(synth, max_batch=args.max_batch,
+                                    window_ms=args.batch_window_ms)
+    server = ThreadingHTTPServer(
+        (args.host, args.port),
+        make_handler(synth, threading.Lock(), batcher=batcher),
+    )
     print(f"spev-serve listening on http://{args.host}:{args.port} "
-          f"(vocoder: {'hifigan' if synth.vocoder.is_neural else 'griffin-lim'})")
+          f"(vocoder: {'hifigan' if synth.vocoder.is_neural else 'griffin-lim'}, "
+          f"batching: {args.max_batch if batcher else 'off'})")
     server.serve_forever()
 
 

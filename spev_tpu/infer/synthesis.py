@@ -496,14 +496,34 @@ class Synthesizer:
         phones = [self.g2p.phonemes(t) for t in texts]
         ids_list = [self.phonemes_to_ids(p) for p in phones]
         results: list = [None] * len(texts)
+        # voice-quality scalars (reference `infer_tts` surface) become
+        # row-constant per-phoneme control tracks; scalar or one value per
+        # text.  Scale vectors (len == len(texts)) are sliced per group.
+        quality = {}
+        for name, track in (("breathiness", "breath"), ("roughness", "rough"),
+                            ("brightness", "bright")):
+            if name in controls:
+                v = np.asarray(controls.pop(name), np.float32)
+                if v.ndim not in (0, 1) or (v.ndim == 1 and len(v) != len(texts)):
+                    raise ValueError(
+                        f"per-request {name} must be a scalar or one value "
+                        f"per text ({len(texts)}); got shape {v.shape}"
+                    )
+                quality[track] = np.broadcast_to(v, (len(texts),))
         if not self.vocoder.is_neural:
             for i, ids in enumerate(ids_list):
-                results[i] = self.synthesize_ids(ids, **controls)
+                row_q = {t: np.full((len(ids),), q[i], np.float32)
+                         for t, q in quality.items()}
+                row_c = {
+                    k: (float(np.asarray(v, np.float32)[i])
+                        if k.endswith("_scale") and np.ndim(v) == 1 else v)
+                    for k, v in controls.items()
+                }
+                results[i] = self.synthesize_ids(ids, **row_q, **row_c)
             return results
 
         hop = self.vocoder.generator.cfg.hop_recovery
         M = frame_bucket or self.frame_buckets[-1]
-        # per-request scale vectors (len == len(texts)) are sliced per group
         per_req = {}
         for k in ("duration_scale", "pitch_scale", "energy_scale"):
             v = controls.get(k)
@@ -518,9 +538,11 @@ class Synthesizer:
         order = sorted(range(len(texts)), key=lambda i: len(ids_list[i]))
         for start in range(0, len(order), batch_size):
             group = order[start : start + batch_size]
-            g_controls = {**controls,
-                          **{k: v[group] for k, v in per_req.items()}}
             P = pick_bucket(max(len(ids_list[i]) for i in group), self.phoneme_buckets)
+            g_controls = {**controls,
+                          **{k: v[group] for k, v in per_req.items()},
+                          **{t: np.repeat(q[group][:, None], P, axis=1)
+                             for t, q in quality.items()}}
             ids_b = np.stack([pad_to_bucket(ids_list[i], P, self.vocab.pad_id) for i in group])
             lens = np.asarray([len(ids_list[i]) for i in group], np.int32)
             if two_phase:

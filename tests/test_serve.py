@@ -89,3 +89,53 @@ def test_unknown_path_404(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(server + "/nope")
     assert e.value.code == 404
+
+
+def test_coalescing_batcher_matches_solo(tmp_path):
+    """Concurrent submits coalesce into one batch; each result must equal
+    a solo synthesis with the same controls."""
+    from spev_tpu.infer.batching import CoalescingBatcher
+    from spev_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator, init_hifigan
+    from spev_tpu.infer.vocoder import Vocoder
+
+    vocab = Vocab.build([chr(c) for c in range(ord("a"), ord("p"))] + [" "])
+    cfg = ModelConfig(vocab_size=len(vocab), embed_dim=32, hidden_dim=32, n_mels=8)
+    params = init_fastspeech2(jax.random.PRNGKey(0), cfg)
+    params["duration_predictor"]["output_norm"]["bias"] = jnp.asarray([1.2])
+    path = str(tmp_path / "m.spev")
+    save_checkpoint(path, params, vocab=vocab.symbols, stats={})
+    vcfg = HiFiGANConfig(
+        resblock="2", upsample_rates=(8, 8, 4), upsample_kernel_sizes=(16, 16, 8),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),), num_mels=8,
+    )
+    synth = Synthesizer(path, hifigan_dir=None, model_cfg=cfg, g2p_backend="rules",
+                        phoneme_buckets=(64,), frame_buckets=(128, 256))
+    synth.vocoder = Vocoder(generator=HiFiGANGenerator(
+        vcfg, init_hifigan(jax.random.PRNGKey(1), vcfg)))
+
+    batcher = CoalescingBatcher(synth, max_batch=4, window_ms=200.0)
+    reqs = [("hello there", {"pitch_scale": 1.0}),
+            ("good day friend", {"pitch_scale": 1.4, "breathiness": 0.4}),
+            ("bye now", {"duration_scale": 1.5})]
+    out = [None] * len(reqs)
+
+    def worker(i):
+        out[i] = batcher.submit(reqs[i][0], **reqs[i][1])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(len(reqs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    for i, (text, kw) in enumerate(reqs):
+        assert out[i] is not None
+        solo = synth.synthesize_many([text], batch_size=1, **{
+            k: np.asarray([v], np.float32) if k.endswith("_scale") or k in
+            ("breathiness", "roughness", "brightness") else v
+            for k, v in kw.items()})
+        # batch-of-3 vs batch-of-1 are different XLA compilations: float
+        # reduction order differs, ~1e-4 drift over 8 FFT blocks is the
+        # expected envelope (exactness across FRAME buckets at equal batch
+        # size is asserted in test_synthesize_many_adaptive_buckets)
+        np.testing.assert_allclose(out[i][1], solo[0][1], atol=5e-4)

@@ -262,11 +262,14 @@ def test_synthesize_many_per_request_controls(tmp_path, tiny_gen):
     texts = ["same text here", "same text here"]
     mixed = synth.synthesize_many(texts, batch_size=2,
                                   duration_scale=np.asarray([1.0, 2.0]),
-                                  pitch_scale=np.asarray([1.0, 1.5]))
+                                  pitch_scale=np.asarray([1.0, 1.5]),
+                                  breathiness=np.asarray([0.0, 0.5]))
     solo1 = synth.synthesize_many([texts[0]], batch_size=1,
-                                  duration_scale=1.0, pitch_scale=1.0)
+                                  duration_scale=1.0, pitch_scale=1.0,
+                                  breathiness=0.0)
     solo2 = synth.synthesize_many([texts[1]], batch_size=1,
-                                  duration_scale=2.0, pitch_scale=1.5)
+                                  duration_scale=2.0, pitch_scale=1.5,
+                                  breathiness=0.5)
     assert mixed[1][1].shape[0] > mixed[0][1].shape[0]  # 2x duration
     np.testing.assert_allclose(mixed[0][1], solo1[0][1], atol=1e-5)
     np.testing.assert_allclose(mixed[1][1], solo2[0][1], atol=1e-5)
