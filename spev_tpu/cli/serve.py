@@ -9,9 +9,12 @@ A dependency-free (stdlib http.server) endpoint over the compiled
     POST /synthesize   {"text": "...", "breathiness": 0.2, "roughness": 0.0,
                         "brightness": 0.0, "pitch_scale": 1.0,
                         "duration_scale": 1.0, "energy_scale": 1.0,
-                        "emotion": "exhausted" (optional, overrides knobs),
-                        "speaker": 3 (optional, advanced checkpoints)}
-        → audio/wav bytes
+                        "emotion": "exhausted" (optional, overrides knobs)}
+        → audio/wav bytes.  Advanced fields — "nasality", "valence",
+        "arousal", "dominance", "age", "lung_capacity", "word_emphasis"
+        ("1.0,1.5,..."), "speaker" — route the request through the
+        spev_advanced engine (VAD knobs, age pitch formula, physiology,
+        emphasis, learned nasality + mel DSP).
     POST /synthesize_stream   same body → audio/wav with streaming-size
         header (RIFF sizes 0xFFFFFFFF), PCM flushed clause-by-clause as
         each segment is synthesized (time-to-first-audio ≈ one clause
@@ -107,19 +110,39 @@ def make_handler(synth, lock: threading.Lock, batcher=None):
                       "pitch_scale", "duration_scale", "energy_scale"):
                 if k in req:
                     kw[k] = float(req[k])
-            return text, kw
+            # advanced surface (VAD / physiology / emphasis / nasality):
+            # present ⇒ the request routes through the advanced engine
+            adv = {}
+            for k in ("nasality", "valence", "arousal", "dominance", "age",
+                      "lung_capacity"):
+                if k in req:
+                    adv[k] = float(req[k])
+            if "word_emphasis" in req:
+                adv["word_emphasis"] = str(req["word_emphasis"])
+            if "speaker" in req:
+                adv["speaker"] = int(req["speaker"])
+            return text, kw, adv
 
         def do_POST(self):
             if self.path not in ("/synthesize", "/synthesize_stream"):
                 self._json(404, {"error": "unknown path"})
                 return
             try:
-                text, kw = self._parse_request()
+                text, kw, adv = self._parse_request()
                 if not text.strip():
                     self._json(400, {"error": "missing 'text'"})
                     return
                 if self.path == "/synthesize":
-                    if batcher is not None:
+                    if adv:
+                        from spev_tpu.infer.advanced_api import (
+                            synthesize_advanced_controls,
+                        )
+
+                        with lock:  # advanced path is per-request
+                            wav, _ = synthesize_advanced_controls(
+                                synth, text, **{**kw, **adv}
+                            )
+                    elif batcher is not None:
                         wav, _ = batcher.submit(text, **kw)
                     else:
                         with lock:

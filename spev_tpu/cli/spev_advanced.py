@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
-
 from spev_tpu.cli.common import cli_guard, run_training, write_outputs
 
 
@@ -57,82 +55,29 @@ def build_parser() -> argparse.ArgumentParser:
 
 def synthesize_advanced(args):
     """Advanced inference: learned controls + VAD knobs + physiological
-    rules + word emphasis + mel-domain voice-quality DSP."""
-    import jax
-    import jax.numpy as jnp
-
-    from spev_tpu.agents.prosody import vad_to_knobs
+    rules + word emphasis + mel-domain voice-quality DSP (shared engine:
+    `spev_tpu.infer.advanced_api.synthesize_advanced_controls`)."""
+    from spev_tpu.infer.advanced_api import synthesize_advanced_controls
     from spev_tpu.infer.synthesis import Synthesizer
-    from spev_tpu.models.advanced import age_pitch_scale, lung_capacity_effect
-    from spev_tpu.ops.mel_dsp import apply_voice_quality
-    from spev_tpu.text.emphasis import parse_emphasis, word_emphasis_to_phonemes
 
     synth = Synthesizer(args.checkpoint, hifigan_dir=args.hifigan_dir)
-    knobs = vad_to_knobs(args.valence, args.arousal, args.dominance)
-    lung = lung_capacity_effect(args.lung_capacity)
-
-    pitch_scale = age_pitch_scale(args.age, args.pitch_scale * knobs["pitch_scale"])
-    duration_scale = args.duration_scale * knobs["duration_scale"] * lung.duration_scale
-    energy_scale = args.energy_scale * knobs.get("energy_scale", 1.0)
-
-    phones = synth.g2p.phonemes(args.text)
-    n = len(phones)
-    breath = np.clip(
-        np.full((n,), knobs["breathiness"] + 0.5 * args.breathiness + lung.breath_boost),
-        0.0, 0.8,
-    ).astype(np.float32)
-    rough = np.clip(
-        np.full((n,), knobs["roughness"] + 0.5 * args.roughness), 0.0, 1.5
-    ).astype(np.float32)
-    bright = np.clip(
-        np.full((n,), knobs["brightness"] - 0.8 * args.nasality), -2.5, 2.5
-    ).astype(np.float32)
-
-    # word emphasis scales duration/pitch/energy per phoneme (documented
-    # spev_advanced semantics, PRODUCTION_SYSTEM_SUMMARY.md:95-99)
-    emphasis_vec = None
-    if args.word_emphasis.strip():
-        scales = parse_emphasis(args.word_emphasis)
-        per_word = synth.g2p.phonemes_per_word(args.text)
-        emphasis = word_emphasis_to_phonemes(scales, per_word)
-        emphasis_vec = np.ones((n,), np.float32)
-        m = min(len(emphasis), n)
-        emphasis_vec[:m] = emphasis[:m]
-
-    ids = synth.phonemes_to_ids(phones)
-    has_advanced = isinstance(synth.params, dict) and "advanced" in synth.params
-    # learned nasality channel: checkpoints trained with use_nasality carry a
-    # nasal head; --nasality then drives learned weights, with the documented
-    # mel-DSP composing on top below
-    nasal_vec = (
-        np.full((n,), np.clip(args.nasality, 0.0, 1.0), np.float32)
-        if synth.model_cfg.use_nasality else None
+    return synthesize_advanced_controls(
+        synth,
+        args.text,
+        breathiness=args.breathiness,
+        roughness=args.roughness,
+        nasality=args.nasality,
+        valence=args.valence,
+        arousal=args.arousal,
+        dominance=args.dominance,
+        age=args.age,
+        lung_capacity=args.lung_capacity,
+        word_emphasis=args.word_emphasis,
+        speaker=args.speaker,
+        pitch_scale=args.pitch_scale,
+        duration_scale=args.duration_scale,
+        energy_scale=args.energy_scale,
     )
-    wav, mel = synth.synthesize_ids(
-        ids,
-        breath=breath,
-        rough=rough,
-        bright=bright,
-        nasal=nasal_vec,
-        duration_scale=duration_scale if emphasis_vec is None else duration_scale * emphasis_vec,
-        pitch_scale=pitch_scale if emphasis_vec is None else pitch_scale * emphasis_vec,
-        energy_scale=energy_scale if emphasis_vec is None else energy_scale * emphasis_vec,
-        speaker_id=args.speaker if has_advanced else None,
-        vad=(args.valence, args.arousal, args.dominance) if has_advanced else None,
-    )
-
-    # documented mel-domain DSP effects, then re-vocode if any are active
-    if args.breathiness or args.roughness or args.nasality:
-        mel_j = apply_voice_quality(
-            jnp.asarray(mel)[None],
-            jax.random.PRNGKey(0),
-            breathiness=args.breathiness,
-            roughness=args.roughness,
-            nasality=args.nasality,
-        )[0]
-        mel = np.asarray(mel_j)
-        wav = np.asarray(synth.vocoder.infer(mel_j))
-    return wav, mel
 
 
 @cli_guard

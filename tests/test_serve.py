@@ -77,6 +77,24 @@ def test_synthesize_stream_returns_streaming_wav(server):
     assert pcm.size > 0 and np.isfinite(pcm.astype(np.float32)).all()
 
 
+def test_synthesize_advanced_fields(server):
+    """Advanced fields (age, VAD, word_emphasis) route through the
+    spev_advanced engine and still return a playable WAV."""
+    req = urllib.request.Request(
+        server + "/synthesize",
+        data=json.dumps({
+            "text": "hello friend", "age": 60, "valence": 0.5,
+            "lung_capacity": 0.7, "word_emphasis": "1.0,1.5",
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        body = r.read()
+    with wave.open(io.BytesIO(body)) as w:
+        assert w.getnframes() > 0
+
+
 def test_missing_text_is_400(server):
     req = urllib.request.Request(server + "/synthesize", data=b"{}",
                                  headers={"Content-Type": "application/json"})
