@@ -23,3 +23,10 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def repo_root():
+    import pathlib
+
+    return pathlib.Path(__file__).resolve().parent.parent
