@@ -217,11 +217,35 @@ def measure_training(B: int = 16, n_iter: int = 30, matmul_precision: str = "hig
     return steps_per_sec, hours_100_epochs, mfu
 
 
+def measure_latency_b1(n_iter: int = 20) -> float:
+    """Single-request (B=1, 40-phoneme) sentence latency in ms — the
+    reference's headline is 50 ms/sentence on an RTX 3090."""
+    cfg, params, vparams, run = build(True)
+    rng = np.random.default_rng(0)
+    ids = np.zeros((1, cfg.max_phonemes), np.int32)
+    ids[0, :40] = rng.integers(1, cfg.vocab_size, (40,))
+    ids = jnp.asarray(ids)
+    lengths = jnp.asarray([40], jnp.int32)
+    breath = jnp.full((1, cfg.max_phonemes), 0.2, jnp.float32)
+
+    def fetch(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    wav, _ = run(params, vparams, ids, lengths, breath)
+    fetch(wav)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        wav, _ = run(params, vparams, ids, lengths, breath)
+    fetch(wav)
+    return (time.perf_counter() - t0) / n_iter * 1000.0
+
+
 def main():
     serving_rtf, serving_wall, cfg, serving_flops, real_rtf, model_flops = measure(
         bf16_vocoder=True, B=16, want_flops=True
     )
     parity_rtf, _, _, _, _, _ = measure(bf16_vocoder=False, B=8)
+    latency_b1_ms = measure_latency_b1()
     train_sps, train_hours, train_mfu = measure_training(B=16, matmul_precision="high")
     train_sps_bf16, train_hours_bf16, _ = measure_training(B=16, matmul_precision="default")
     B = 16
@@ -246,6 +270,7 @@ def main():
                 "vocoder_samples_per_sec": round(B * cfg.max_frames * HOP / serving_wall),
                 "batch": B,
                 "wall_sec_per_batch": round(serving_wall, 4),
+                "latency_b1_ms_per_sentence": round(latency_b1_ms, 2),
                 "serving_mfu": round(serving_mfu, 4) if serving_mfu else None,
                 "serving_hw_flop_util": round(serving_hw_util, 4) if serving_hw_util else None,
                 "train_steps_per_sec": round(train_sps, 3),
