@@ -217,9 +217,16 @@ def measure_training(B: int = 16, n_iter: int = 30, matmul_precision: str = "hig
     return steps_per_sec, hours_100_epochs, mfu
 
 
-def measure_latency_b1(n_iter: int = 20) -> float:
+def measure_latency_b1(n_iter: int = 20) -> tuple:
     """Single-request (B=1, 40-phoneme) sentence latency in ms — the
-    reference's headline is 50 ms/sentence on an RTX 3090."""
+    reference's headline is 50 ms/sentence on an RTX 3090.
+
+    Returns (synced_latency_ms, host_rtt_ms): the synced number is a
+    strict per-request latency (host sync every iteration, so dispatch
+    cannot pipeline), and host_rtt_ms is the measured cost of that bare
+    sync — on the tunneled axon platform the round trip dominates, so
+    `synced − rtt` approximates device latency on locally attached
+    hardware."""
     cfg, params, vparams, run = build(True)
     rng = np.random.default_rng(0)
     ids = np.zeros((1, cfg.max_phonemes), np.int32)
@@ -236,8 +243,16 @@ def measure_latency_b1(n_iter: int = 20) -> float:
     t0 = time.perf_counter()
     for _ in range(n_iter):
         wav, _ = run(params, vparams, ids, lengths, breath)
-    fetch(wav)
-    return (time.perf_counter() - t0) / n_iter * 1000.0
+        fetch(wav)
+    synced_ms = (time.perf_counter() - t0) / n_iter * 1000.0
+
+    small = jnp.ones((8,), jnp.float32) * 2.0
+    float(jnp.sum(small))
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        float(jnp.sum(small + 1.0))
+    rtt_ms = (time.perf_counter() - t0) / n_iter * 1000.0
+    return synced_ms, rtt_ms
 
 
 def main():
@@ -245,7 +260,7 @@ def main():
         bf16_vocoder=True, B=16, want_flops=True
     )
     parity_rtf, _, _, _, _, _ = measure(bf16_vocoder=False, B=8)
-    latency_b1_ms = measure_latency_b1()
+    latency_b1_ms, host_rtt_ms = measure_latency_b1()
     train_sps, train_hours, train_mfu = measure_training(B=16, matmul_precision="high")
     train_sps_bf16, train_hours_bf16, _ = measure_training(B=16, matmul_precision="default")
     B = 16
@@ -271,6 +286,7 @@ def main():
                 "batch": B,
                 "wall_sec_per_batch": round(serving_wall, 4),
                 "latency_b1_ms_per_sentence": round(latency_b1_ms, 2),
+                "host_rtt_ms": round(host_rtt_ms, 2),
                 "serving_mfu": round(serving_mfu, 4) if serving_mfu else None,
                 "serving_hw_flop_util": round(serving_hw_util, 4) if serving_hw_util else None,
                 "train_steps_per_sec": round(train_sps, 3),

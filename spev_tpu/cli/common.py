@@ -12,15 +12,22 @@ import numpy as np
 
 
 def cli_guard(fn):
-    """Print expected user errors (bad paths, bad flag values) as a single
-    ``error: ...`` line and exit 2 instead of dumping a traceback.
-    Unexpected exceptions still propagate with their full traceback."""
+    """Print expected user errors as a single ``error: ...`` line and exit
+    2 instead of dumping a traceback.
+
+    Caught: FileNotFoundError/NotADirectoryError (bad paths) and
+    ValueError (bad flag values — note this also swallows internal
+    ValueErrors such as shape mismatches; set ``SPEV_TRACEBACK=1`` to get
+    the full traceback when debugging).  Other exception types propagate
+    with their traceback."""
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         try:
             return fn(*args, **kwargs)
         except (FileNotFoundError, NotADirectoryError, ValueError) as e:
+            if os.environ.get("SPEV_TRACEBACK"):
+                raise
             print(f"error: {e}", file=sys.stderr)
             raise SystemExit(2)
 

@@ -127,10 +127,16 @@ def make_handler(synth, lock: threading.Lock, batcher=None):
             if self.path not in ("/synthesize", "/synthesize_stream"):
                 self._json(404, {"error": "unknown path"})
                 return
+            streaming_started = False
             try:
                 text, kw, adv = self._parse_request()
                 if not text.strip():
                     self._json(400, {"error": "missing 'text'"})
+                    return
+                if adv and self.path == "/synthesize_stream":
+                    self._json(400, {"error": "advanced fields are not "
+                                              "supported on the streaming "
+                                              "endpoint; use /synthesize"})
                     return
                 if self.path == "/synthesize":
                     if adv:
@@ -161,6 +167,7 @@ def make_handler(synth, lock: threading.Lock, batcher=None):
                 self.send_response(200)
                 self.send_header("Content-Type", "audio/wav")
                 self.end_headers()
+                streaming_started = True
                 self.wfile.write(_wav_stream_header(synth.audio.sample_rate))
                 self.wfile.flush()
                 it = stream_text(synth, text, **kw)
@@ -173,10 +180,17 @@ def make_handler(synth, lock: threading.Lock, batcher=None):
                     self.wfile.write(_pcm16(clause_wav))
                     self.wfile.flush()
             except Exception as e:  # serving endpoint: report, don't die
+                if streaming_started:
+                    # the 200 + audio header is already on the wire: a JSON
+                    # error body would be decoded as PCM noise — truncate the
+                    # stream instead (the client sees a short read)
+                    self.log_message("stream aborted: %s: %s", type(e).__name__, e)
+                    self.close_connection = True
+                    return
                 try:
                     self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 except Exception:
-                    pass  # headers already sent mid-stream; just drop
+                    pass  # socket already broken; nothing to report
 
         def log_message(self, fmt, *args):
             print(f"[serve] {self.address_string()} {fmt % args}")

@@ -92,15 +92,25 @@ class CoalescingBatcher:
         return batch
 
     def _run_batch(self, batch: list) -> None:
-        texts = [p.text for p in batch]
+        # pad to the next power of two (cap max_batch) by repeating the
+        # first request: bounds the distinct device batch sizes to
+        # log2(max_batch)+1 XLA compilations instead of one per
+        # concurrency level
+        n = len(batch)
+        padded = 1
+        while padded < n:
+            padded *= 2
+        padded = min(padded, self.max_batch)
+        texts = [p.text for p in batch] + [batch[0].text] * (padded - n)
         merged: dict = {}
         for key in _SCALE_KEYS + _QUALITY_KEYS:
             vals = [p.controls.get(key, _DEFAULTS[key]) for p in batch]
+            vals += [vals[0]] * (padded - n)
             merged[key] = np.asarray(vals, np.float32)
         results = self.synth.synthesize_many(
             texts, batch_size=self.max_batch, **merged
         )
-        for p, r in zip(batch, results):
+        for p, r in zip(batch, results[:n]):
             p.result = r
 
     def _loop(self) -> None:
@@ -108,9 +118,14 @@ class CoalescingBatcher:
             batch = self._collect()
             try:
                 self._run_batch(batch)
-            except BaseException as e:  # hand the error to every waiter
+            except BaseException:
+                # isolate the failure: retry each request alone so one bad
+                # request (e.g. a G2P failure) doesn't 500 its batchmates
                 for p in batch:
-                    p.error = e
+                    try:
+                        self._run_batch([p])
+                    except BaseException as e:
+                        p.error = e
             finally:
                 for p in batch:
                     p.event.set()

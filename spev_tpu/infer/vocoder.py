@@ -32,9 +32,11 @@ class Vocoder:
         hifigan_dir: Optional[str] = None,
         audio: AudioConfig = AudioConfig(),
         generator: Optional[HiFiGANGenerator] = None,
+        frame_buckets: tuple = (256, 512, 1024, 2048),
     ):
         self.audio = audio
         self.generator = generator
+        self.frame_buckets = tuple(sorted(frame_buckets))
         if generator is None and hifigan_dir and os.path.exists(
             os.path.join(hifigan_dir, "config.json")
         ):
@@ -50,13 +52,29 @@ class Vocoder:
         return self.generator is not None
 
     def infer(self, log_mel: jnp.ndarray) -> np.ndarray:
-        """log_mel (T, n_mels) → waveform np.float32 (T·hop,)-ish."""
+        """log_mel (T, n_mels) → waveform np.float32 (T·hop,)-ish.
+
+        The HiFi-GAN path pads T to a frame bucket and runs the masked
+        generator (bit-exact on the valid prefix), so a long-running
+        server compiles one graph per bucket instead of one per distinct
+        utterance length."""
         if self.generator is not None:
             if self._jit_hifigan is None:
                 vapply, vparams = self.generator.runtime()
-                self._jit_hifigan = (jax.jit(lambda p, mel: vapply(p, mel[None])[0]), vparams)
+                self._jit_hifigan = (
+                    jax.jit(lambda p, mel, n: vapply(p, mel[None], n)[0]),
+                    vparams,
+                )
             run, vparams = self._jit_hifigan
-            return np.asarray(run(vparams, jnp.asarray(log_mel)))
+            T = int(log_mel.shape[0])
+            bucket = next((b for b in self.frame_buckets if T <= b), T)
+            mel = jnp.asarray(log_mel)
+            if bucket > T:
+                mel = jnp.pad(mel, ((0, bucket - T), (0, 0)),
+                              constant_values=-10.0)
+            hop = self.generator.cfg.hop_recovery
+            wav = run(vparams, mel, jnp.asarray([T], jnp.int32))
+            return np.asarray(wav[: T * hop])
         if self._jit_gl is None:
             a = self.audio
 

@@ -98,6 +98,26 @@ def test_folded_rhs_dilated_wide_stage_matches():
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+def test_unfold_dilated_mode_matches():
+    """The documented negative-result mode (r>1 dilated convs run unfolded
+    with rhs_dilation; docs/BENCH.md) must stay numerically exact — it is
+    a supported fold_hifigan flag, not dead code."""
+    cfg = tiny_v1()
+    params = init_hifigan(jax.random.PRNGKey(3), cfg)
+    folded = fold_hifigan(params, cfg, unfold_dilated=True)
+    # at least one r>1 dilated conv must actually take the unfolded form
+    assert any(
+        p.fold == 1 and p.dil > 1
+        for st in folded["stages"] for blk in st
+        for p in blk.get("convs1", blk.get("convs", []))
+    )
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(np.clip(rng.standard_normal((2, 24, cfg.num_mels)) - 4, -10, 2).astype(np.float32))
+    ref = np.asarray(apply_hifigan(params, cfg, mel))
+    out = np.asarray(apply_hifigan_folded(folded, cfg, mel))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
 def test_folded_matches_standard_masked():
     """Bucket masking (mel_len) must stay row-exact through the folds."""
     cfg = tiny_v1()

@@ -95,6 +95,39 @@ def test_synthesize_advanced_fields(server):
         assert w.getnframes() > 0
 
 
+def test_stream_error_truncates_not_corrupts(server, monkeypatch):
+    """A synthesis failure after the stream header is on the wire must
+    truncate the stream — never append an HTTP error body as PCM."""
+    import spev_tpu.infer.streaming as streaming_mod
+
+    def boom_stream(synth, text, **kw):
+        yield np.zeros(256, np.float32)
+        raise RuntimeError("mid-stream failure")
+
+    monkeypatch.setattr(streaming_mod, "stream_text", boom_stream)
+    req = urllib.request.Request(
+        server + "/synthesize_stream",
+        data=json.dumps({"text": "will fail mid stream"}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        body = r.read()  # short read: connection closed by the server
+    assert body[:4] == b"RIFF"
+    assert b"HTTP/1.0 500" not in body and b"error" not in body
+    assert len(body) == 44 + 256 * 2  # header + exactly one clause of PCM
+
+
+def test_stream_rejects_advanced_fields(server):
+    req = urllib.request.Request(
+        server + "/synthesize_stream",
+        data=json.dumps({"text": "hi", "age": 70}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+
+
 def test_missing_text_is_400(server):
     req = urllib.request.Request(server + "/synthesize", data=b"{}",
                                  headers={"Content-Type": "application/json"})
