@@ -593,10 +593,46 @@ class Synthesizer:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Reference-equivalent synthesis: constant control tensors from the
         scalars (``:758-760``), or explicit per-phoneme curves (the temporal
-        agent path)."""
+        agent path).
+
+        Text longer than the largest phoneme bucket is split at clause
+        boundaries and the clause waveforms are concatenated (the
+        reference would OOM/slow on such inputs; here buckets are static,
+        so chunking is the faithful generalization).  Explicit per-phoneme
+        curves are not supported for over-long text — pre-split instead."""
         phones = self.g2p.phonemes(text)
         ids = self.phonemes_to_ids(phones)
         n = len(ids)
+
+        if n > self.phoneme_buckets[-1]:
+            if any(c is not None for c in (breath_curve, rough_curve, bright_curve)):
+                raise ValueError(
+                    f"text phonemizes to {n} phonemes (> largest bucket "
+                    f"{self.phoneme_buckets[-1]}); per-phoneme curves cannot "
+                    "be split automatically — pre-split the text"
+                )
+            from spev_tpu.infer.streaming import split_clauses
+
+            clauses = split_clauses(text)
+            if len(clauses) <= 1:  # no punctuation to split at: hard split
+                words = text.split()
+                if len(words) < 2:
+                    raise ValueError(
+                        f"a single unsplittable token phonemizes to {n} "
+                        f"phonemes (> largest bucket {self.phoneme_buckets[-1]})"
+                    )
+                mid = max(1, len(words) // 2)
+                clauses = [" ".join(words[:mid]), " ".join(words[mid:])]
+            wavs, mels = [], []
+            for clause in clauses:
+                w, m = self.synthesize(
+                    clause, breathiness=breathiness, roughness=roughness,
+                    brightness=brightness, pitch_scale=pitch_scale,
+                    duration_scale=duration_scale, energy_scale=energy_scale,
+                )
+                wavs.append(w)
+                mels.append(m)
+            return np.concatenate(wavs), np.concatenate(mels, axis=0)
 
         def curve(c, scalar):
             if c is not None:

@@ -277,6 +277,21 @@ def test_synthesize_many_per_request_controls(tmp_path, tiny_gen):
         synth.synthesize_many(texts, duration_scale=np.asarray([1.0, 2.0, 3.0]))
 
 
+def test_synthesize_long_text_auto_chunks(tmp_path):
+    """Text beyond the largest phoneme bucket splits at clauses (or words
+    when punctuation is absent) and concatenates instead of raising."""
+    vocab = _vocab()
+    path, cfg = _make_ckpt(tmp_path, vocab)
+    synth = Synthesizer(path, hifigan_dir=None, model_cfg=cfg, g2p_backend="rules",
+                        phoneme_buckets=(32,), frame_buckets=(256,))
+    long_text = "one clause here, and another clause, then more words after that"
+    wav, mel = synth.synthesize(long_text)
+    assert mel.shape[0] > 0 and np.isfinite(wav).all()
+    # per-phoneme curves cannot be auto-split
+    with pytest.raises(ValueError, match="curves"):
+        synth.synthesize(long_text, breath_curve=np.zeros(500, np.float32))
+
+
 def test_checkpoint_carries_model_config(tmp_path):
     """A checkpoint trained with non-default architecture (tiny dims,
     functional predictors) must serve without manual config plumbing."""
