@@ -44,7 +44,6 @@ class Vocoder:
                 self.generator = HiFiGANGenerator.from_pretrained(hifigan_dir)
             except FileNotFoundError:
                 self.generator = None
-        self._jit_hifigan = None
         self._jit_gl = None
 
     @property
@@ -59,13 +58,9 @@ class Vocoder:
         server compiles one graph per bucket instead of one per distinct
         utterance length."""
         if self.generator is not None:
-            if self._jit_hifigan is None:
-                vapply, vparams = self.generator.runtime()
-                self._jit_hifigan = (
-                    jax.jit(lambda p, mel, n: vapply(p, mel[None], n)[0]),
-                    vparams,
-                )
-            run, vparams = self._jit_hifigan
+            # the generator's cached jitted runtime is shared with the
+            # streaming path — one jit wrapper per (generator, path)
+            run, vparams = self.generator.jitted_runtime()
             T = int(log_mel.shape[0])
             bucket = next((b for b in self.frame_buckets if T <= b), T)
             mel = jnp.asarray(log_mel)
@@ -73,7 +68,7 @@ class Vocoder:
                 mel = jnp.pad(mel, ((0, bucket - T), (0, 0)),
                               constant_values=-10.0)
             hop = self.generator.cfg.hop_recovery
-            wav = run(vparams, mel, jnp.asarray([T], jnp.int32))
+            wav = run(vparams, mel[None], jnp.asarray([T], jnp.int32))[0]
             return np.asarray(wav[: T * hop])
         if self._jit_gl is None:
             a = self.audio
