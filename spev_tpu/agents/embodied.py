@@ -48,26 +48,37 @@ class EmbodiedAgent:
         n = len(phones)
         ids = self.synth.phonemes_to_ids(phones)
         if self.temporal:
+            # curves are sampled ONCE over the whole segment, so an
+            # over-bucket segment keeps its full emotional trajectory and
+            # is synthesized in bucket-sized spans below
             curves = self.manager.get_curves(emotion, n)
-            wav, _ = self.synth.synthesize_ids(
-                ids,
-                breath=np.asarray(curves["breath"], np.float32),
-                rough=np.asarray(curves["rough"], np.float32),
-                bright=np.asarray(curves["bright"], np.float32),
-                pitch_scale=float(curves["pitch_scale"]),
-                duration_scale=float(curves["speed_scale"]),
-            )
+            breath = np.asarray(curves["breath"], np.float32)
+            rough = np.asarray(curves["rough"], np.float32)
+            bright = np.asarray(curves["bright"], np.float32)
+            pitch_scale = float(curves["pitch_scale"])
+            duration_scale = float(curves["speed_scale"])
         else:
             knobs = self.policy.get_knobs(emotion)
+            breath = np.full((n,), knobs["breathiness"], np.float32)
+            rough = np.full((n,), knobs["roughness"], np.float32)
+            bright = np.full((n,), knobs["brightness"], np.float32)
+            pitch_scale = float(knobs["pitch_scale"])
+            duration_scale = float(knobs["duration_scale"])
+
+        p_max = self.synth.phoneme_buckets[-1]
+        wavs = []
+        for s in range(0, n, p_max):
+            e = min(s + p_max, n)
             wav, _ = self.synth.synthesize_ids(
-                ids,
-                breath=np.full((n,), knobs["breathiness"], np.float32),
-                rough=np.full((n,), knobs["roughness"], np.float32),
-                bright=np.full((n,), knobs["brightness"], np.float32),
-                pitch_scale=float(knobs["pitch_scale"]),
-                duration_scale=float(knobs["duration_scale"]),
+                ids[s:e],
+                breath=breath[s:e],
+                rough=rough[s:e],
+                bright=bright[s:e],
+                pitch_scale=pitch_scale,
+                duration_scale=duration_scale,
             )
-        return wav
+            wavs.append(np.asarray(wav, np.float32))
+        return wavs[0] if len(wavs) == 1 else np.concatenate(wavs)
 
     def synthesize(self, text_input: str, emotion: str = "neutral") -> np.ndarray:
         """Text with ``[event]`` tags → one audio stream (concatenation

@@ -112,6 +112,17 @@ def test_embodied_agent_temporal(agent):
     assert np.isfinite(audio).all() and len(audio) > int(22050 * 0.5)
 
 
+def test_embodied_agent_long_segment_chunks(agent):
+    """A speech segment longer than the largest phoneme bucket (64 here)
+    is synthesized in bucket-sized spans with the curve trajectory sliced
+    across them — not an error."""
+    a = EmbodiedAgent(None, synthesizer=agent, temporal=True)
+    long_text = " ".join(["calming phrase edge"] * 12)  # > 64 phonemes
+    assert len(agent.g2p.phonemes(long_text)) > 64
+    audio = a.synthesize(long_text, emotion="relief")
+    assert np.isfinite(audio).all() and len(audio) > 0
+
+
 def test_policy_model_ranges():
     params = init_policy_model(jax.random.PRNGKey(0), vocab_size=50, hidden=16)
     ids = np.random.default_rng(0).integers(0, 50, size=(2, 12))
