@@ -260,7 +260,10 @@ def main():
         bf16_vocoder=True, B=16, want_flops=True
     )
     parity_rtf, _, _, _, _, _ = measure(bf16_vocoder=False, B=8)
-    latency_b1_ms, host_rtt_ms = measure_latency_b1()
+    try:
+        latency_b1_ms, host_rtt_ms = measure_latency_b1()
+    except Exception:  # never let the latency probe break the bench line
+        latency_b1_ms = host_rtt_ms = None
     train_sps, train_hours, train_mfu = measure_training(B=16, matmul_precision="high")
     train_sps_bf16, train_hours_bf16, _ = measure_training(B=16, matmul_precision="default")
     B = 16
@@ -285,8 +288,10 @@ def main():
                 "vocoder_samples_per_sec": round(B * cfg.max_frames * HOP / serving_wall),
                 "batch": B,
                 "wall_sec_per_batch": round(serving_wall, 4),
-                "latency_b1_ms_per_sentence": round(latency_b1_ms, 2),
-                "host_rtt_ms": round(host_rtt_ms, 2),
+                "latency_b1_ms_per_sentence": (
+                    round(latency_b1_ms, 2) if latency_b1_ms else None
+                ),
+                "host_rtt_ms": round(host_rtt_ms, 2) if host_rtt_ms else None,
                 "serving_mfu": round(serving_mfu, 4) if serving_mfu else None,
                 "serving_hw_flop_util": round(serving_hw_util, 4) if serving_hw_util else None,
                 "train_steps_per_sec": round(train_sps, 3),
