@@ -65,7 +65,9 @@ class EmbodiedAgent:
             pitch_scale = float(knobs["pitch_scale"])
             duration_scale = float(knobs["duration_scale"])
 
-        p_max = self.synth.phoneme_buckets[-1]
+        # duck-typed synthesizers without buckets (tests, custom backends)
+        # get the whole segment in one call
+        p_max = getattr(self.synth, "phoneme_buckets", (n or 1,))[-1]
         wavs = []
         for s in range(0, n, p_max):
             e = min(s + p_max, n)
