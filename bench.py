@@ -217,6 +217,68 @@ def measure_training(B: int = 16, n_iter: int = 30, matmul_precision: str = "hig
     return steps_per_sec, hours_100_epochs, mfu
 
 
+def measure_adaptive_serving(
+    n_requests: int = 64,
+    B: int = 16,
+    model_cfg=None,
+    voc_cfg=None,
+    frame_buckets=(256, 512, 768),
+    phoneme_buckets=(128,),
+) -> float:
+    """Valid-audio RTF of `Synthesizer.synthesize_many` on an LJSpeech-like
+    request mix (32–128 phonemes) with adaptive frame buckets — the
+    production batched-serving path, vs the fixed-bucket realistic row.
+    model_cfg/voc_cfg overrides let tests run a tiny configuration."""
+    import os
+    import tempfile
+
+    from spev_tpu.config import ModelConfig
+    from spev_tpu.infer.synthesis import Synthesizer
+    from spev_tpu.infer.vocoder import Vocoder
+    from spev_tpu.models import modules as nn_mod
+    from spev_tpu.models.fastspeech2 import init_fastspeech2
+    from spev_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator, init_hifigan
+    from spev_tpu.text.vocab import Vocab
+    from spev_tpu.train.checkpoint import save_checkpoint
+
+    nn_mod.set_matmul_precision("default")
+    vocab = Vocab.build([chr(c) for c in range(ord("a"), ord("z") + 1)] + [" "])
+    cfg = model_cfg or ModelConfig(vocab_size=len(vocab))
+    vcfg = voc_cfg or HiFiGANConfig()
+    params = init_fastspeech2(jax.random.PRNGKey(0), cfg)
+    params["duration_predictor"]["output_norm"]["bias"] = jnp.asarray(
+        [np.log(7.0)], jnp.float32
+    )
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "bench.spev")
+        save_checkpoint(path, params, vocab=vocab.symbols, stats={})
+        synth = Synthesizer(path, model_cfg=cfg, g2p_backend="rules",
+                            phoneme_buckets=phoneme_buckets,
+                            frame_buckets=frame_buckets)
+        gen = HiFiGANGenerator(vcfg, jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16), init_hifigan(jax.random.PRNGKey(1), vcfg)))
+        synth.vocoder = Vocoder(generator=gen)
+
+        rng = np.random.default_rng(0)
+        words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+        texts = []
+        for _ in range(n_requests):
+            n_ph = int(rng.integers(32, min(129, phoneme_buckets[-1] + 1)))
+            t, cur = [], 0
+            while cur < n_ph:
+                w = words[int(rng.integers(len(words)))]
+                t.append(w)
+                cur += len(w) + 1
+            texts.append(" ".join(t))
+
+        synth.synthesize_many(texts, batch_size=B)  # compile all buckets
+        t0 = time.perf_counter()
+        results = synth.synthesize_many(texts, batch_size=B)
+        dt = time.perf_counter() - t0
+        audio_sec = sum(r[0].shape[0] for r in results) / SR
+        return audio_sec / dt
+
+
 def measure_latency_b1(n_iter: int = 20) -> tuple:
     """Single-request (B=1, 40-phoneme) sentence latency in ms — the
     reference's headline is 50 ms/sentence on an RTX 3090.
@@ -264,6 +326,10 @@ def main():
         latency_b1_ms, host_rtt_ms = measure_latency_b1()
     except Exception:  # never let the latency probe break the bench line
         latency_b1_ms = host_rtt_ms = None
+    try:
+        adaptive_rtf = measure_adaptive_serving()
+    except Exception:
+        adaptive_rtf = None
     train_sps, train_hours, train_mfu = measure_training(B=16, matmul_precision="high")
     train_sps_bf16, train_hours_bf16, _ = measure_training(B=16, matmul_precision="default")
     B = 16
@@ -284,6 +350,9 @@ def main():
                 "vs_baseline": round(serving_rtf / 20.0, 2),
                 "parity_grade_rtf": round(parity_rtf, 2),
                 "realistic_length_rtf": round(real_rtf, 2) if real_rtf else None,
+                "adaptive_serving_rtf": (
+                    round(adaptive_rtf, 2) if adaptive_rtf else None
+                ),
                 "mel_frames_per_sec": round(B * cfg.max_frames / serving_wall),
                 "vocoder_samples_per_sec": round(B * cfg.max_frames * HOP / serving_wall),
                 "batch": B,

@@ -535,7 +535,24 @@ class Synthesizer:
                         f"({len(texts)}); got {len(v)}"
                     )
                 per_req[k] = v
-        order = sorted(range(len(texts)), key=lambda i: len(ids_list[i]))
+        # texts beyond the largest phoneme bucket go through the chunking
+        # single-request path; the rest batch normally
+        p_cap = self.phoneme_buckets[-1]
+        long_idx = [i for i in range(len(texts)) if len(ids_list[i]) > p_cap]
+        for i in long_idx:
+            row_kw = {}
+            for name, track in (("breathiness", "breath"), ("roughness", "rough"),
+                                ("brightness", "bright")):
+                if track in quality:
+                    row_kw[name] = float(quality[track][i])
+            for k in ("duration_scale", "pitch_scale", "energy_scale"):
+                if k in per_req:
+                    row_kw[k] = float(per_req[k][i])
+                elif k in controls:
+                    row_kw[k] = float(controls[k])
+            results[i] = self.synthesize(texts[i], **row_kw)
+        order = sorted((i for i in range(len(texts)) if i not in set(long_idx)),
+                       key=lambda i: len(ids_list[i]))
         for start in range(0, len(order), batch_size):
             group = order[start : start + batch_size]
             P = pick_bucket(max(len(ids_list[i]) for i in group), self.phoneme_buckets)
