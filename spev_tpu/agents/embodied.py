@@ -48,9 +48,9 @@ class EmbodiedAgent:
         n = len(phones)
         ids = self.synth.phonemes_to_ids(phones)
         if self.temporal:
-            # curves are sampled ONCE over the whole segment, so an
-            # over-bucket segment keeps its full emotional trajectory and
-            # is synthesized in bucket-sized spans below
+            # curves are sampled over the whole segment; over-bucket
+            # segments are span-chunked inside synthesize_ids with the
+            # trajectory sliced consistently
             curves = self.manager.get_curves(emotion, n)
             breath = np.asarray(curves["breath"], np.float32)
             rough = np.asarray(curves["rough"], np.float32)
@@ -65,22 +65,15 @@ class EmbodiedAgent:
             pitch_scale = float(knobs["pitch_scale"])
             duration_scale = float(knobs["duration_scale"])
 
-        # duck-typed synthesizers without buckets (tests, custom backends)
-        # get the whole segment in one call
-        p_max = getattr(self.synth, "phoneme_buckets", (n or 1,))[-1]
-        wavs = []
-        for s in range(0, n, p_max):
-            e = min(s + p_max, n)
-            wav, _ = self.synth.synthesize_ids(
-                ids[s:e],
-                breath=breath[s:e],
-                rough=rough[s:e],
-                bright=bright[s:e],
-                pitch_scale=pitch_scale,
-                duration_scale=duration_scale,
-            )
-            wavs.append(np.asarray(wav, np.float32))
-        return wavs[0] if len(wavs) == 1 else np.concatenate(wavs)
+        wav, _ = self.synth.synthesize_ids(
+            ids,
+            breath=breath,
+            rough=rough,
+            bright=bright,
+            pitch_scale=pitch_scale,
+            duration_scale=duration_scale,
+        )
+        return np.asarray(wav, np.float32)
 
     def synthesize(self, text_input: str, emotion: str = "neutral") -> np.ndarray:
         """Text with ``[event]`` tags → one audio stream (concatenation

@@ -90,35 +90,18 @@ def synthesize_advanced_controls(
         np.full((n,), np.clip(nasality, 0.0, 1.0), np.float32)
         if synth.model_cfg.use_nasality else None
     )
-    d_vec = duration_s if emphasis_vec is None else duration_s * emphasis_vec
-    p_vec = pitch_s if emphasis_vec is None else pitch_s * emphasis_vec
-    e_vec = energy_s if emphasis_vec is None else energy_s * emphasis_vec
-
-    def _row(v, sl):
-        return v[sl] if isinstance(v, np.ndarray) else v
-
-    # over-bucket text: synthesize in bucket-sized spans (all per-phoneme
-    # tracks sliced consistently), concatenate, then apply the mel DSP once
-    p_max = synth.phoneme_buckets[-1]
-    wavs, mels = [], []
-    for s in range(0, n, p_max):
-        sl = slice(s, min(s + p_max, n))
-        w, m = synth.synthesize_ids(
-            ids[sl],
-            breath=breath[sl],
-            rough=rough[sl],
-            bright=bright[sl],
-            nasal=None if nasal_vec is None else nasal_vec[sl],
-            duration_scale=_row(d_vec, sl),
-            pitch_scale=_row(p_vec, sl),
-            energy_scale=_row(e_vec, sl),
-            speaker_id=speaker if has_advanced else None,
-            vad=(valence, arousal, dominance) if has_advanced else None,
-        )
-        wavs.append(np.asarray(w, np.float32))
-        mels.append(np.asarray(m))
-    wav = wavs[0] if len(wavs) == 1 else np.concatenate(wavs)
-    mel = mels[0] if len(mels) == 1 else np.concatenate(mels, axis=0)
+    wav, mel = synth.synthesize_ids(
+        ids,
+        breath=breath,
+        rough=rough,
+        bright=bright,
+        nasal=nasal_vec,
+        duration_scale=duration_s if emphasis_vec is None else duration_s * emphasis_vec,
+        pitch_scale=pitch_s if emphasis_vec is None else pitch_s * emphasis_vec,
+        energy_scale=energy_s if emphasis_vec is None else energy_s * emphasis_vec,
+        speaker_id=speaker if has_advanced else None,
+        vad=(valence, arousal, dominance) if has_advanced else None,
+    )
 
     # documented mel-domain DSP effects, then re-vocode if any are active
     if breathiness or roughness or nasality:

@@ -403,8 +403,37 @@ class Synthesizer:
         duration/pitch/energy scales may be scalars or per-phoneme (n_ph,)
         vectors (the word-emphasis path).  speaker_id / vad engage the
         advanced model's learned conditioning (requires an advanced
-        checkpoint with the corresponding tables)."""
+        checkpoint with the corresponding tables).
+
+        ids longer than the largest phoneme bucket are synthesized in
+        bucket-sized spans (every per-phoneme track sliced consistently)
+        and concatenated — this is THE over-bucket mechanism; the
+        text/agent/advanced layers all inherit it."""
         n_ph = len(ids)
+        p_max = self.phoneme_buckets[-1]
+        if n_ph > p_max:
+            def span(v, sl):
+                if v is None or np.ndim(v) == 0:
+                    return v
+                return np.asarray(v)[sl]
+
+            wavs, mels = [], []
+            for s in range(0, n_ph, p_max):
+                sl = slice(s, min(s + p_max, n_ph))
+                w, m = self.synthesize_ids(
+                    ids[sl],
+                    breath=span(breath, sl), rough=span(rough, sl),
+                    bright=span(bright, sl), nasal=span(nasal, sl),
+                    duration_scale=span(duration_scale, sl),
+                    pitch_scale=span(pitch_scale, sl),
+                    energy_scale=span(energy_scale, sl),
+                    frame_bucket=frame_bucket,
+                    speaker_id=speaker_id, vad=vad,
+                )
+                wavs.append(w)
+                mels.append(m)
+            return np.concatenate(wavs), np.concatenate(mels, axis=0)
+
         P = pick_bucket(n_ph, self.phoneme_buckets)
 
         def ctl(v, default):
@@ -535,23 +564,27 @@ class Synthesizer:
                         f"({len(texts)}); got {len(v)}"
                     )
                 per_req[k] = v
-        # texts beyond the largest phoneme bucket go through the chunking
-        # single-request path; the rest batch normally
+        # texts beyond the largest phoneme bucket go through synthesize_ids'
+        # span chunking with the SAME control semantics as the batched rows
+        # (quality tracks only when given, frame_bucket pin honored);
+        # the rest batch normally
         p_cap = self.phoneme_buckets[-1]
-        long_idx = [i for i in range(len(texts)) if len(ids_list[i]) > p_cap]
-        for i in long_idx:
+        long_set = {i for i in range(len(texts)) if len(ids_list[i]) > p_cap}
+        for i in long_set:
+            n_i = len(ids_list[i])
             row_kw = {}
-            for name, track in (("breathiness", "breath"), ("roughness", "rough"),
-                                ("brightness", "bright")):
+            for track in ("breath", "rough", "bright"):
                 if track in quality:
-                    row_kw[name] = float(quality[track][i])
+                    row_kw[track] = np.full((n_i,), quality[track][i], np.float32)
             for k in ("duration_scale", "pitch_scale", "energy_scale"):
                 if k in per_req:
                     row_kw[k] = float(per_req[k][i])
                 elif k in controls:
-                    row_kw[k] = float(controls[k])
-            results[i] = self.synthesize(texts[i], **row_kw)
-        order = sorted((i for i in range(len(texts)) if i not in set(long_idx)),
+                    row_kw[k] = float(np.asarray(controls[k]))
+            results[i] = self.synthesize_ids(
+                ids_list[i], frame_bucket=frame_bucket, **row_kw
+            )
+        order = sorted((i for i in range(len(texts)) if i not in long_set),
                        key=lambda i: len(ids_list[i]))
         for start in range(0, len(order), batch_size):
             group = order[start : start + batch_size]
@@ -612,44 +645,11 @@ class Synthesizer:
         scalars (``:758-760``), or explicit per-phoneme curves (the temporal
         agent path).
 
-        Text longer than the largest phoneme bucket is split at clause
-        boundaries and the clause waveforms are concatenated (the
-        reference would OOM/slow on such inputs; here buckets are static,
-        so chunking is the faithful generalization).  Explicit per-phoneme
-        curves are not supported for over-long text — pre-split instead."""
+        Text longer than the largest phoneme bucket is handled by
+        `synthesize_ids`' span chunking (curves included)."""
         phones = self.g2p.phonemes(text)
         ids = self.phonemes_to_ids(phones)
         n = len(ids)
-
-        if n > self.phoneme_buckets[-1]:
-            if any(c is not None for c in (breath_curve, rough_curve, bright_curve)):
-                raise ValueError(
-                    f"text phonemizes to {n} phonemes (> largest bucket "
-                    f"{self.phoneme_buckets[-1]}); per-phoneme curves cannot "
-                    "be split automatically — pre-split the text"
-                )
-            from spev_tpu.infer.streaming import split_clauses
-
-            clauses = split_clauses(text)
-            if len(clauses) <= 1:  # no punctuation to split at: hard split
-                words = text.split()
-                if len(words) < 2:
-                    raise ValueError(
-                        f"a single unsplittable token phonemizes to {n} "
-                        f"phonemes (> largest bucket {self.phoneme_buckets[-1]})"
-                    )
-                mid = max(1, len(words) // 2)
-                clauses = [" ".join(words[:mid]), " ".join(words[mid:])]
-            wavs, mels = [], []
-            for clause in clauses:
-                w, m = self.synthesize(
-                    clause, breathiness=breathiness, roughness=roughness,
-                    brightness=brightness, pitch_scale=pitch_scale,
-                    duration_scale=duration_scale, energy_scale=energy_scale,
-                )
-                wavs.append(w)
-                mels.append(m)
-            return np.concatenate(wavs), np.concatenate(mels, axis=0)
 
         def curve(c, scalar):
             if c is not None:

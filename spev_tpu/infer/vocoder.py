@@ -62,7 +62,11 @@ class Vocoder:
             # streaming path — one jit wrapper per (generator, path)
             run, vparams = self.generator.jitted_runtime()
             T = int(log_mel.shape[0])
-            bucket = next((b for b in self.frame_buckets if T <= b), T)
+            top = self.frame_buckets[-1]
+            # beyond the top bucket: round up to a multiple of it so long
+            # inputs still hit a bounded set of compiled graphs
+            bucket = next((b for b in self.frame_buckets if T <= b),
+                          -(-T // top) * top)
             mel = jnp.asarray(log_mel)
             if bucket > T:
                 mel = jnp.pad(mel, ((0, bucket - T), (0, 0)),

@@ -278,8 +278,9 @@ def test_synthesize_many_per_request_controls(tmp_path, tiny_gen):
 
 
 def test_synthesize_long_text_auto_chunks(tmp_path):
-    """Text beyond the largest phoneme bucket splits at clauses (or words
-    when punctuation is absent) and concatenates instead of raising."""
+    """Ids beyond the largest phoneme bucket are span-chunked inside
+    synthesize_ids — text, curves, and the Griffin-Lim path all inherit
+    it instead of raising from pick_bucket."""
     vocab = _vocab()
     path, cfg = _make_ckpt(tmp_path, vocab)
     synth = Synthesizer(path, hifigan_dir=None, model_cfg=cfg, g2p_backend="rules",
@@ -287,9 +288,19 @@ def test_synthesize_long_text_auto_chunks(tmp_path):
     long_text = "one clause here, and another clause, then more words after that"
     wav, mel = synth.synthesize(long_text)
     assert mel.shape[0] > 0 and np.isfinite(wav).all()
-    # per-phoneme curves cannot be auto-split
-    with pytest.raises(ValueError, match="curves"):
-        synth.synthesize(long_text, breath_curve=np.zeros(500, np.float32))
+    n = len(synth.phonemes_to_ids(synth.g2p.phonemes(long_text)))
+    assert n > 32
+    # per-phoneme curves are sliced across the spans
+    wav2, mel2 = synth.synthesize(long_text,
+                                  breath_curve=np.linspace(0, 0.8, n).astype(np.float32))
+    assert mel2.shape[0] > 0 and np.isfinite(wav2).all()
+    # Griffin-Lim synthesize_many path inherits the chunking too (same
+    # quality scalars as synthesize()'s defaults -> identical mel)
+    (wav3, mel3), = synth.synthesize_many(
+        [long_text], batch_size=1,
+        breathiness=0.1, roughness=0.05, brightness=0.0,
+    )
+    np.testing.assert_allclose(mel3, mel, atol=1e-5)
 
 
 def test_checkpoint_carries_model_config(tmp_path):

@@ -43,7 +43,11 @@ np.asarray(next(it)).sum()
 print(f"first chunk (warm): {(time.perf_counter()-t0)*1000:.1f} ms")
 ts = []
 for c in it:
-    t1 = time.perf_counter(); np.asarray(c).sum(); ts.append((time.perf_counter()-t0)*1000); t0 = t1
-print("stream OK")
+    t1 = time.perf_counter()
+    np.asarray(c).sum()
+    ts.append((time.perf_counter() - t1) * 1000)
+print(f"steady chunks: {np.mean(ts):.1f}±{np.std(ts):.1f} ms "
+      f"({64*256/22050*1000:.0f} ms audio each)")
 EOF
+rm -rf "$T"
 echo "ALL REVALIDATED"
