@@ -317,19 +317,38 @@ def measure_latency_b1(n_iter: int = 20) -> tuple:
     return synced_ms, rtt_ms
 
 
+def _bounded(fn, seconds: int):
+    """Run fn() under a SIGALRM deadline; None on timeout/error — the
+    auxiliary bench stages must never break or stall the bench line."""
+    import signal
+
+    def _raise(signum, frame):
+        raise TimeoutError("bench stage deadline")
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        return fn()
+    except Exception:
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
+    t_start = time.perf_counter()
     serving_rtf, serving_wall, cfg, serving_flops, real_rtf, model_flops = measure(
         bf16_vocoder=True, B=16, want_flops=True
     )
     parity_rtf, _, _, _, _, _ = measure(bf16_vocoder=False, B=8)
-    try:
-        latency_b1_ms, host_rtt_ms = measure_latency_b1()
-    except Exception:  # never let the latency probe break the bench line
-        latency_b1_ms = host_rtt_ms = None
-    try:
-        adaptive_rtf = measure_adaptive_serving()
-    except Exception:
-        adaptive_rtf = None
+    lat = _bounded(measure_latency_b1, 120)
+    latency_b1_ms, host_rtt_ms = lat if lat else (None, None)
+    # adaptive serving compiles a few extra fused graphs — only attempt it
+    # while comfortably inside the bench budget
+    adaptive_rtf = None
+    if time.perf_counter() - t_start < 300:
+        adaptive_rtf = _bounded(measure_adaptive_serving, 180)
     train_sps, train_hours, train_mfu = measure_training(B=16, matmul_precision="high")
     train_sps_bf16, train_hours_bf16, _ = measure_training(B=16, matmul_precision="default")
     B = 16
