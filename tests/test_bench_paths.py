@@ -2,11 +2,13 @@
 at tiny configuration on CPU."""
 
 import numpy as np
+import pytest
 
 from spev_tpu.config import ModelConfig
 from spev_tpu.models.hifigan import HiFiGANConfig
 
 
+@pytest.mark.slow
 def test_measure_adaptive_serving_tiny():
     from bench import measure_adaptive_serving
 

@@ -72,6 +72,7 @@ def test_import_reference_cache_numerics(ref_cache, tmp_path):
     np.testing.assert_array_equal(u0["durs"], utts[0]["durs"])
 
 
+@pytest.mark.slow
 def test_imported_cache_trains_end_to_end(ref_cache, tmp_path):
     import jax
     from spev_tpu.config import ModelConfig, SpevConfig, TrainConfig

@@ -50,6 +50,7 @@ def test_batches_carry_speaker_ids(ms_dataset):
     assert "speaker_ids" in batch and batch["speaker_ids"].shape == (2,)
 
 
+@pytest.mark.slow
 def test_multispeaker_training_step(ms_dataset):
     vocab = Vocab(ms_dataset.vocab)
     cfg = SpevConfig(

@@ -65,6 +65,7 @@ def setup():
     return cfg, mesh, state, step
 
 
+@pytest.mark.slow
 def test_loss_decreases_on_fixed_batch(setup):
     cfg, mesh, state, step = setup
     rng = np.random.default_rng(0)
@@ -104,6 +105,7 @@ def test_nan_batch_skipped_params_unchanged(setup):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_duration_only_warmup_phase(setup):
     cfg, mesh, _, _ = setup
     state = init_train_state(jax.random.PRNGKey(4), cfg)
@@ -144,6 +146,7 @@ def test_checkpoint_roundtrip(tmp_path, setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_grad_accumulation_matches_full_batch():
     """accum=2 over a batch must produce the SAME parameter update as
     accum=1 on the same data (deterministic, no dropout).
