@@ -31,13 +31,117 @@ Output: ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 from __future__ import annotations
 
 import json
+import os
+import sys
+import threading
 import time
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 SR, HOP = 22050, 256
+
+# ---------------------------------------------------------------------------
+# Survivability layer (round 3).  Round 2's BENCH artifact was a traceback
+# because the axon TPU relay was dead and the first jnp call blocked forever
+# inside backend init.  Contract with the driver: stdout carries EXACTLY ONE
+# JSON line and rc is 0, whether the TPU is alive, dead, or dies mid-run.
+#
+# Three mechanisms:
+#   1. backend probe in a SUBPROCESS (an in-process jax.devices() that hangs
+#      wedges JAX's global backend-init lock, so retries must be fresh
+#      processes), with retry+backoff — the relay can come back;
+#   2. a RESULT dict filled incrementally, so a mid-run death still reports
+#      every stage that finished;
+#   3. a global-deadline watchdog thread that emits the partial RESULT and
+#      os._exit(0)s if anything (including backend init) wedges the process.
+# ---------------------------------------------------------------------------
+
+RESULT: dict = {
+    "metric": "synthesis_rtf_x_realtime",
+    "value": None,
+    "unit": "x_realtime",
+    "vs_baseline": None,
+}
+_EMITTED = threading.Event()
+
+
+def _emit(**extra) -> None:
+    """Print the single JSON result line exactly once (thread-safe)."""
+    if _EMITTED.is_set():
+        return
+    _EMITTED.set()
+    RESULT.update(extra)
+    print(json.dumps(RESULT), flush=True)
+
+
+def _total_budget() -> float:
+    """Self-imposed wall budget (sec), kept under the driver's ~600 s cap."""
+    return float(os.environ.get("SPEV_BENCH_BUDGET", "540"))
+
+
+def _start_watchdog(deadline: float) -> None:
+    def _watch():
+        time.sleep(max(0.0, deadline - time.monotonic()))
+        if not _EMITTED.is_set():
+            sys.stderr.write("bench: global deadline hit, emitting partial result\n")
+            sys.stderr.flush()
+            _emit(error="deadline_exceeded",
+                  detail="bench watchdog fired before all stages completed")
+            sys.stdout.flush()
+            os._exit(0)
+
+    threading.Thread(target=_watch, daemon=True).start()
+
+
+def probe_backend(probe_deadline: float) -> dict:
+    """Probe JAX backend init in fresh subprocesses until it succeeds or the
+    probe deadline passes.  Returns {"ok": bool, "detail": str, ...}.
+
+    Subprocess because a dead axon relay makes jax.devices() block forever
+    (it redials 127.0.0.1 with no timeout); a blocked in-process probe thread
+    would hold jax's backend-init lock and poison every later attempt.
+    """
+    import subprocess
+
+    # the axon sitecustomize overrides jax_platforms at interpreter start, so
+    # an explicit JAX_PLATFORMS env (e.g. cpu in tests) must be re-applied in
+    # code before backend init — same recipe as tests/conftest.py
+    code = ("import os, jax; p = os.environ.get('JAX_PLATFORMS'); "
+            "p and jax.config.update('jax_platforms', p); d = jax.devices(); "
+            "print(len(d), '\\t', d[0].platform, '\\t', d[0].device_kind)")
+    attempt, backoff = 0, 15.0
+    last = "no probe attempted"
+    while True:
+        attempt += 1
+        per_try = min(60.0, max(10.0, probe_deadline - time.monotonic()))
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=per_try,
+            )
+            if r.returncode == 0 and r.stdout.strip():
+                n, platform, kind = (s.strip() for s in r.stdout.split("\t"))
+                return {"ok": True, "n_devices": int(n), "platform": platform,
+                        "device_kind": kind, "probe_attempts": attempt}
+            last = (r.stderr or r.stdout).strip().splitlines()[-1:] or ["empty output"]
+            last = f"rc={r.returncode}: {last[0][:300]}"
+        except subprocess.TimeoutExpired:
+            last = f"probe timed out after {per_try:.0f}s (relay dead?)"
+        except Exception as e:  # pragma: no cover - defensive
+            last = repr(e)[:300]
+        if time.monotonic() + backoff >= probe_deadline:
+            return {"ok": False, "detail": last, "probe_attempts": attempt}
+        sys.stderr.write(f"bench: backend probe attempt {attempt} failed "
+                         f"({last}); retrying in {backoff:.0f}s\n")
+        time.sleep(backoff)
+        backoff = min(backoff * 2, 60.0)
+
+
+import jax  # noqa: E402  (import is safe; backend init is what blocks)
+import jax.numpy as jnp  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS"):  # honor explicit platform (tests: cpu)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 # bf16 peak FLOP/s per chip, keyed by device_kind prefix
 _PEAK_BF16 = {
@@ -337,62 +441,103 @@ def _bounded(fn, seconds: int):
 
 
 def main():
-    t_start = time.perf_counter()
+    t0 = time.monotonic()
+    budget = _total_budget()
+    deadline = t0 + budget
+    _start_watchdog(deadline)
+
+    # 1. Backend liveness gate: never let a dead relay turn the artifact into
+    #    a traceback.  Probe (with retries — the relay can come back) for at
+    #    most 40% of the budget, then either proceed or emit a structured
+    #    unavailability record with rc 0.
+    probe = probe_backend(probe_deadline=t0 + min(0.4 * budget, 240.0))
+    if not probe["ok"]:
+        _emit(error="tpu_unavailable", detail=probe["detail"],
+              probe_attempts=probe["probe_attempts"], device=None)
+        return
+    RESULT["device_kind"] = probe["device_kind"]
+    RESULT["probe_attempts"] = probe["probe_attempts"]
+
+    def left() -> float:
+        return deadline - time.monotonic()
+
+    # 2. Stages, most important first; each records into RESULT immediately,
+    #    so a later death still reports everything that finished.
     serving_rtf, serving_wall, cfg, serving_flops, real_rtf, model_flops = measure(
         bf16_vocoder=True, B=16, want_flops=True
     )
-    parity_rtf, _, _, _, _, _ = measure(bf16_vocoder=False, B=8)
-    lat = _bounded(measure_latency_b1, 120)
-    latency_b1_ms, host_rtt_ms = lat if lat else (None, None)
-    # adaptive serving compiles a few extra fused graphs — only attempt it
-    # while comfortably inside the bench budget
-    adaptive_rtf = None
-    if time.perf_counter() - t_start < 300:
-        adaptive_rtf = _bounded(measure_adaptive_serving, 180)
-    train_sps, train_hours, train_mfu = measure_training(B=16, matmul_precision="high")
-    train_sps_bf16, train_hours_bf16, _ = measure_training(B=16, matmul_precision="default")
     B = 16
     peak = _peak_flops()
-    # hw util: executed (folded) FLOPs; MFU: the model's intrinsic FLOPs
     serving_hw_util = (
         serving_flops / serving_wall / peak if (serving_flops and peak) else None
     )
     serving_mfu = (
         model_flops / serving_wall / peak if (model_flops and peak) else None
     )
-    print(
-        json.dumps(
-            {
-                "metric": "synthesis_rtf_x_realtime",
-                "value": round(serving_rtf, 2),
-                "unit": "x_realtime",
-                "vs_baseline": round(serving_rtf / 20.0, 2),
-                "parity_grade_rtf": round(parity_rtf, 2),
-                "realistic_length_rtf": round(real_rtf, 2) if real_rtf else None,
-                "adaptive_serving_rtf": (
-                    round(adaptive_rtf, 2) if adaptive_rtf else None
-                ),
-                "mel_frames_per_sec": round(B * cfg.max_frames / serving_wall),
-                "vocoder_samples_per_sec": round(B * cfg.max_frames * HOP / serving_wall),
-                "batch": B,
-                "wall_sec_per_batch": round(serving_wall, 4),
-                "latency_b1_ms_per_sentence": (
-                    round(latency_b1_ms, 2) if latency_b1_ms else None
-                ),
-                "host_rtt_ms": round(host_rtt_ms, 2) if host_rtt_ms else None,
-                "serving_mfu": round(serving_mfu, 4) if serving_mfu else None,
-                "serving_hw_flop_util": round(serving_hw_util, 4) if serving_hw_util else None,
-                "train_steps_per_sec": round(train_sps, 3),
-                "train_hours_per_100_lj_epochs": round(train_hours, 2),
-                "train_vs_baseline_3090_5h": round(5.0 / train_hours, 2) if train_hours else None,
-                "train_mfu": round(train_mfu, 4) if train_mfu else None,
-                "train_steps_per_sec_bf16": round(train_sps_bf16, 3),
-                "train_hours_per_100_lj_epochs_bf16": round(train_hours_bf16, 2),
-                "device": str(jax.devices()[0]),
-            }
-        )
+    RESULT.update(
+        value=round(serving_rtf, 2),
+        vs_baseline=round(serving_rtf / 20.0, 2),
+        realistic_length_rtf=round(real_rtf, 2) if real_rtf else None,
+        mel_frames_per_sec=round(B * cfg.max_frames / serving_wall),
+        vocoder_samples_per_sec=round(B * cfg.max_frames * HOP / serving_wall),
+        batch=B,
+        wall_sec_per_batch=round(serving_wall, 4),
+        serving_mfu=round(serving_mfu, 4) if serving_mfu else None,
+        serving_hw_flop_util=round(serving_hw_util, 4) if serving_hw_util else None,
+        device=str(jax.devices()[0]),
     )
+
+    train = _bounded(
+        lambda: measure_training(B=16, matmul_precision="high"),
+        int(max(30, min(180, left() - 120))),
+    )
+    if train:
+        train_sps, train_hours, train_mfu = train
+        RESULT.update(
+            train_steps_per_sec=round(train_sps, 3),
+            train_hours_per_100_lj_epochs=round(train_hours, 2),
+            train_vs_baseline_3090_5h=round(5.0 / train_hours, 2),
+            train_mfu=round(train_mfu, 4) if train_mfu else None,
+        )
+
+    parity = _bounded(lambda: measure(bf16_vocoder=False, B=8),
+                      int(max(20, min(120, left() - 90))))
+    if parity:
+        RESULT["parity_grade_rtf"] = round(parity[0], 2)
+
+    if left() > 150:
+        train_bf16 = _bounded(
+            lambda: measure_training(B=16, matmul_precision="default"),
+            int(min(150, left() - 60)),
+        )
+        if train_bf16:
+            RESULT.update(
+                train_steps_per_sec_bf16=round(train_bf16[0], 3),
+                train_hours_per_100_lj_epochs_bf16=round(train_bf16[1], 2),
+            )
+
+    if left() > 80:
+        lat = _bounded(measure_latency_b1, int(min(90, left() - 30)))
+        if lat:
+            RESULT.update(
+                latency_b1_ms_per_sentence=round(lat[0], 2),
+                host_rtt_ms=round(lat[1], 2),
+            )
+
+    if left() > 150:
+        adaptive_rtf = _bounded(measure_adaptive_serving, int(min(180, left() - 30)))
+        if adaptive_rtf:
+            RESULT["adaptive_serving_rtf"] = round(adaptive_rtf, 2)
+
+    _emit()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — the artifact must be JSON
+        if not isinstance(e, (KeyboardInterrupt, SystemExit)):
+            sys.stderr.write(f"bench: fatal: {e!r}\n")
+            _emit(error=type(e).__name__, detail=repr(e)[:500])
+        else:
+            raise
