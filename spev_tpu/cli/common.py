@@ -16,19 +16,21 @@ def cli_guard(fn):
     2 instead of dumping a traceback.
 
     Caught: FileNotFoundError/NotADirectoryError (bad paths) and
-    ValueError (bad flag values — note this also swallows internal
-    ValueErrors such as shape mismatches; set ``SPEV_TRACEBACK=1`` to get
-    the full traceback when debugging).  Other exception types propagate
-    with their traceback."""
+    `spev_tpu.errors.UserError` (bad flag values / malformed inputs).
+    Internal bugs — including plain ValueErrors from deep inside JAX
+    graphs — propagate with their full traceback.  Set ``SPEV_TRACEBACK=1``
+    to see the traceback even for user errors."""
+    from spev_tpu.errors import UserError
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         try:
             return fn(*args, **kwargs)
-        except (FileNotFoundError, NotADirectoryError, ValueError) as e:
+        except (FileNotFoundError, NotADirectoryError, UserError) as e:
             if os.environ.get("SPEV_TRACEBACK"):
                 raise
             print(f"error: {e}", file=sys.stderr)
+            print("(set SPEV_TRACEBACK=1 for the full traceback)", file=sys.stderr)
             raise SystemExit(2)
 
     return wrapper

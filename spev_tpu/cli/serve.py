@@ -26,8 +26,15 @@ persistent compilation cache to make cold starts fast across restarts).
 Concurrent /synthesize requests are coalesced into one device batch
 (`infer/batching.CoalescingBatcher`, ``--max_batch``/``--batch_window_ms``;
 per-request controls ride the same graph) — the fused serving graph is
-~5× more efficient at batch 16 than at batch 1.  Streaming requests
-serialize through a lock.
+~5× more efficient at batch 16 than at batch 1.
+
+Concurrency model: the Synthesizer's graph caches are internally locked
+(one compiled callable per bucket, no duplicate compilation), and JAX
+dispatch is thread-safe with the device executing enqueued graphs in
+order — so streaming and advanced requests run concurrently from their
+handler threads with clause/request granularity interleaving, while the
+batcher worker owns the batched /synthesize graph.  No handler-level
+compute lock: one slow streaming client no longer blocks other streams.
 """
 
 from __future__ import annotations
@@ -35,7 +42,6 @@ from __future__ import annotations
 import argparse
 import io
 import json
-import threading
 import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -70,7 +76,12 @@ def _pcm16(audio: np.ndarray) -> bytes:
     return (np.clip(audio, -1, 1) * 32767.0).astype("<i2").tobytes()
 
 
-def make_handler(synth, lock: threading.Lock, batcher=None):
+def make_handler(synth, lock: "threading.Lock | None" = None, batcher=None):
+    # `lock` is accepted for signature compatibility but no longer guards
+    # compute: graph get-or-create is locked inside Synthesizer, and device
+    # dispatch is thread-safe (the chip serializes execution fairly), so
+    # streams interleave instead of queueing behind each other.
+    del lock
     from spev_tpu.agents.prosody import ProsodyPolicy
 
     policy = ProsodyPolicy()
@@ -144,15 +155,13 @@ def make_handler(synth, lock: threading.Lock, batcher=None):
                             synthesize_advanced_controls,
                         )
 
-                        with lock:  # advanced path is per-request
-                            wav, _ = synthesize_advanced_controls(
-                                synth, text, **{**kw, **adv}
-                            )
+                        wav, _ = synthesize_advanced_controls(
+                            synth, text, **{**kw, **adv}
+                        )
                     elif batcher is not None:
                         wav, _ = batcher.submit(text, **kw)
                     else:
-                        with lock:
-                            wav, _ = synth.synthesize(text, **kw)
+                        wav, _ = synth.synthesize(text, **kw)
                     body = _wav_bytes(wav, synth.audio.sample_rate)
                     self.send_response(200)
                     self.send_header("Content-Type", "audio/wav")
@@ -170,13 +179,9 @@ def make_handler(synth, lock: threading.Lock, batcher=None):
                 streaming_started = True
                 self.wfile.write(_wav_stream_header(synth.audio.sample_rate))
                 self.wfile.flush()
-                it = stream_text(synth, text, **kw)
-                while True:
-                    with lock:  # one compute stream: lock per clause
-                        try:
-                            clause_wav = next(it)
-                        except StopIteration:
-                            break
+                # per-stream execution against the shared compiled graphs:
+                # concurrent streams make interleaved clause-level progress
+                for clause_wav in stream_text(synth, text, **kw):
                     self.wfile.write(_pcm16(clause_wav))
                     self.wfile.flush()
             except Exception as e:  # serving endpoint: report, don't die
@@ -227,7 +232,7 @@ def main(argv=None) -> None:
                                     window_ms=args.batch_window_ms)
     server = ThreadingHTTPServer(
         (args.host, args.port),
-        make_handler(synth, threading.Lock(), batcher=batcher),
+        make_handler(synth, batcher=batcher),
     )
     print(f"spev-serve listening on http://{args.host}:{args.port} "
           f"(vocoder: {'hifigan' if synth.vocoder.is_neural else 'griffin-lim'}, "

@@ -27,6 +27,7 @@ from typing import Optional
 import numpy as np
 
 from spev_tpu.utils.torch_loader import load_checkpoint
+from spev_tpu.errors import UserError
 
 _FEATURE_KEYS = ("pitch", "energy", "breath", "rough", "bright")
 
@@ -113,7 +114,7 @@ def import_monolithic_cache(path: str, out_cache_dir: str) -> dict:
         stats = dict(obj.get("stats") or {})
         vocab = obj.get("vocab")
     if utts is None:
-        raise ValueError(
+        raise UserError(
             f"{path}: unrecognized monolithic cache layout "
             f"({type(obj).__name__}; expected a list of utterance dicts or a "
             "dict with an 'utterances'/'files'/'data' list)"

@@ -245,6 +245,7 @@ class SpevDataset:
         speaker_set = set()
         self.files = []
         entries = []
+        tot_frames = tot_phonemes = 0
         for i, wav_path in enumerate(wavs):
             try:
                 entry = self._process_file(i, wav_path, textgrid_dir, fx, g2p, min_samples)
@@ -252,7 +253,9 @@ class SpevDataset:
                 continue
             if entry is None:
                 continue
-            path, phs = entry
+            path, phs, n_frames = entry
+            tot_frames += n_frames
+            tot_phonemes += len(phs)
             vocab_set.update(phs)
             self.files.append(path)
             if multi_speaker:
@@ -260,6 +263,12 @@ class SpevDataset:
                 speaker_set.add(spk)
                 entries.append((path, spk))
 
+        # serving-side frame-bucket calibration: the corpus' mean decoded
+        # frames per phoneme rides in stats → checkpoint → Synthesizer,
+        # replacing its hard-coded 10-frames/phoneme estimate
+        self.stats["frames_per_phoneme"] = (
+            tot_frames / tot_phonemes if tot_phonemes else 10.0
+        )
         self.vocab = sorted(vocab_set)
         self.speakers = sorted(speaker_set)
         if multi_speaker:
@@ -363,7 +372,7 @@ class SpevDataset:
             bright=np.asarray(bri, np.float32),
             nasal=np.asarray(na, np.float32),
         )
-        return path, phs
+        return path, phs, int(np.sum(durs))
 
     def __len__(self):
         return len(self.files)

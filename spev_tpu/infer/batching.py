@@ -15,8 +15,11 @@ batch.  `CoalescingBatcher` is that layer:
   free;
 - results (or the per-batch error) are handed back to each waiter.
 
-The worker owns all device compute, so no extra locking is needed
-around the Synthesizer.
+The worker owns the *batched* serving graph; streaming and advanced
+requests dispatch concurrently from their own handler threads.  That is
+safe because the Synthesizer locks graph get-or-create internally (one
+compiled callable per bucket) and JAX dispatch is thread-safe — the
+device executes enqueued graphs in order.
 """
 
 from __future__ import annotations
@@ -92,20 +95,25 @@ class CoalescingBatcher:
         return batch
 
     def _run_batch(self, batch: list) -> None:
-        # pad to the next power of two (cap max_batch) by repeating the
-        # first request: bounds the distinct device batch sizes to
-        # log2(max_batch)+1 XLA compilations instead of one per
-        # concurrency level
+        # pad to the next power of two (cap max_batch): bounds the distinct
+        # device batch sizes to log2(max_batch)+1 XLA compilations instead
+        # of one per concurrency level.  The pad template is the SHORTEST
+        # request (cheapest filler rows); if even that is over the largest
+        # phoneme bucket (≈ chars > bucket for IPA-char tokens) padding
+        # would multiply the serial span-chunking path, so skip it.
         n = len(batch)
+        tmpl = min(range(n), key=lambda j: len(batch[j].text))
         padded = 1
         while padded < n:
             padded *= 2
         padded = min(padded, self.max_batch)
-        texts = [p.text for p in batch] + [batch[0].text] * (padded - n)
+        if len(batch[tmpl].text) > self.synth.phoneme_buckets[-1]:
+            padded = n
+        texts = [p.text for p in batch] + [batch[tmpl].text] * (padded - n)
         merged: dict = {}
         for key in _SCALE_KEYS + _QUALITY_KEYS:
             vals = [p.controls.get(key, _DEFAULTS[key]) for p in batch]
-            vals += [vals[0]] * (padded - n)
+            vals += [vals[tmpl]] * (padded - n)
             merged[key] = np.asarray(vals, np.float32)
         results = self.synth.synthesize_many(
             texts, batch_size=self.max_batch, **merged

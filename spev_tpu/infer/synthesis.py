@@ -22,6 +22,7 @@ auto-detected.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
@@ -119,26 +120,60 @@ class Synthesizer:
         self.phoneme_buckets = tuple(sorted(phoneme_buckets))
         self.frame_buckets = tuple(sorted(frame_buckets))
         self.mesh = mesh
+        if mesh is not None:
+            # one-shot replicated placement: per-request host work is then
+            # only the input arrays, never a parameter-tree walk
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self.params = jax.device_put(
+                self.params, NamedSharding(mesh, PartitionSpec())
+            )
         self._graphs: Dict[tuple, callable] = {}
+        # graph get-or-create is locked so concurrent requests (streaming
+        # handlers, the batcher worker) share ONE jitted callable per key
+        # instead of racing into duplicate compilations
+        self._graph_lock = threading.Lock()
+        self._voc_cache: Optional[tuple] = None
+        # frames-per-phoneme estimate for adaptive frame buckets: seeded from
+        # the checkpoint's dataset stats when present, then tracked as a
+        # running max-ratio EMA from observed batches (self-calibrating for
+        # checkpoints saved before the stat existed)
+        try:
+            self._fpp = float((stats or {}).get("frames_per_phoneme", 10.0))
+        except (TypeError, AttributeError):
+            self._fpp = 10.0
+
+    def _voc_params(self):
+        """The vocoder runtime parameter tree, fetched once (and mesh-placed
+        once when serving over a mesh); invalidated if the vocoder is
+        swapped."""
+        gen = self.vocoder.generator
+        if self._voc_cache is None or self._voc_cache[0] is not gen:
+            vp = gen.runtime()[1]
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                vp = jax.device_put(vp, NamedSharding(self.mesh, PartitionSpec()))
+            self._voc_cache = (gen, vp)
+        return self._voc_cache[1]
 
     def _batch_jit(self, fn, n_weights: int):
-        """jit a batched serving graph; with a mesh, replicate the first
-        ``n_weights`` (parameter-tree) args and shard every later array arg
-        on the 'data' axis — XLA then splits the batch across chips."""
+        """jit a batched serving graph; with a mesh, shard every array arg
+        after the first ``n_weights`` on the 'data' axis — XLA then splits
+        the batch across chips.  The weight trees themselves are placed
+        (replicated) ONCE at construction / first vocoder use, so the
+        per-request host work here is only the small input arrays."""
         jitted = jax.jit(fn)
         if self.mesh is None:
             return jitted
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        rep = NamedSharding(self.mesh, P())
         bsh = NamedSharding(self.mesh, P("data"))
 
         def wrapped(*args):
-            placed = []
-            for i, a in enumerate(args):
-                if i < n_weights:
-                    placed.append(jax.device_put(a, rep))
-                elif hasattr(a, "ndim") and a.ndim >= 1:
+            placed = list(args[:n_weights])  # pre-placed weight trees
+            for a in args[n_weights:]:
+                if hasattr(a, "ndim") and a.ndim >= 1:
                     placed.append(jax.device_put(a, bsh))
                 else:
                     placed.append(a)
@@ -156,116 +191,124 @@ class Synthesizer:
     # Griffin-Lim/HiFi-GAN.  For fixed-shape batched serving use
     # `synthesize_batch`, which fuses both at one static bucket.
 
+    def _graph(self, key, build):
+        """Get-or-create a cached compiled graph under the graph lock, so
+        concurrent request threads share one jitted callable per key."""
+        g = self._graphs.get(key)
+        if g is not None:
+            return g
+        with self._graph_lock:
+            g = self._graphs.get(key)
+            if g is None:
+                g = self._graphs[key] = build()
+            return g
+
     def _acoustic_graph(self, P: int, M: int):
         import dataclasses
 
-        key = ("ac", P, M)
-        if key in self._graphs:
-            return self._graphs[key]
-        cfg = dataclasses.replace(self.model_cfg, max_phonemes=P, max_frames=M)
+        def build():
+            cfg = dataclasses.replace(self.model_cfg, max_phonemes=P, max_frames=M)
 
-        @jax.jit
-        def run(params, ids, lengths, breath, rough, bright, d, p, e,
-                speaker_ids=None, vad=None, nasal=None):
-            kw = dict(
-                target_breath=breath, target_rough=rough, target_bright=bright,
-                d_control=d, p_control=p, e_control=e,
-            )
-            if nasal is not None:
-                kw["target_nasal"] = nasal
-            if speaker_ids is not None or vad is not None:
-                from spev_tpu.models.advanced import apply_advanced
+            @jax.jit
+            def run(params, ids, lengths, breath, rough, bright, d, p, e,
+                    speaker_ids=None, vad=None, nasal=None):
+                kw = dict(
+                    target_breath=breath, target_rough=rough, target_bright=bright,
+                    d_control=d, p_control=p, e_control=e,
+                )
+                if nasal is not None:
+                    kw["target_nasal"] = nasal
+                if speaker_ids is not None or vad is not None:
+                    from spev_tpu.models.advanced import apply_advanced
 
-                out = apply_advanced(params, cfg, ids, lengths,
-                                     speaker_ids=speaker_ids, vad=vad, **kw)
-            else:
-                out = apply_fastspeech2(params, cfg, ids, lengths, **kw)
-            mel = out["mel_pred"]
-            # reference pre-vocoder hygiene (``:776-781``)
-            mel = jnp.clip(jnp.nan_to_num(mel, nan=-5.0), -10.0, 2.0)
-            return mel, out["mel_len"]
+                    out = apply_advanced(params, cfg, ids, lengths,
+                                         speaker_ids=speaker_ids, vad=vad, **kw)
+                else:
+                    out = apply_fastspeech2(params, cfg, ids, lengths, **kw)
+                mel = out["mel_pred"]
+                # reference pre-vocoder hygiene (``:776-781``)
+                mel = jnp.clip(jnp.nan_to_num(mel, nan=-5.0), -10.0, 2.0)
+                return mel, out["mel_len"]
 
-        self._graphs[key] = run
-        return run
+            return run
+
+        return self._graph(("ac", P, M), build)
 
     def _vocoder_graph(self, M: int):
-        key = ("voc", M, self.vocoder.is_neural)
-        if key in self._graphs:
-            return self._graphs[key]
-        if self.vocoder.is_neural:
-            gen = self.vocoder.generator
+        def build():
+            if self.vocoder.is_neural:
+                gen = self.vocoder.generator
 
-            vapply, _ = gen.runtime()
+                vapply, _ = gen.runtime()
 
-            @jax.jit
-            def run(voc_params, mel, mel_len):
-                return vapply(voc_params, mel, mel_len)
+                @jax.jit
+                def run(voc_params, mel, mel_len):
+                    return vapply(voc_params, mel, mel_len)
 
-        else:
+            else:
 
-            @jax.jit
-            def run(voc_params, mel, mel_len):
-                del voc_params, mel_len
-                return jax.vmap(
-                    lambda m: mel_to_audio(
-                        jnp.exp(m).T,
-                        sr=self.audio.sample_rate,
-                        n_fft=self.audio.n_fft,
-                        hop_length=self.audio.hop_length,
-                        fmin=self.audio.fmin,
-                        fmax=self.audio.fmax,
-                    )
-                )(mel)
+                @jax.jit
+                def run(voc_params, mel, mel_len):
+                    del voc_params, mel_len
+                    return jax.vmap(
+                        lambda m: mel_to_audio(
+                            jnp.exp(m).T,
+                            sr=self.audio.sample_rate,
+                            n_fft=self.audio.n_fft,
+                            hop_length=self.audio.hop_length,
+                            fmin=self.audio.fmin,
+                            fmax=self.audio.fmax,
+                        )
+                    )(mel)
 
-        self._graphs[key] = run
-        return run
+            return run
+
+        return self._graph(("voc", M, self.vocoder.is_neural), build)
 
     def _fused_graph(self, P: int, M: int):
         """Fully fused acoustic+HiFi-GAN graph at one static bucket — the
         zero-sync batched serving path (bench.py shape)."""
         import dataclasses
 
-        key = ("fused", P, M)
-        if key in self._graphs:
-            return self._graphs[key]
-        cfg = dataclasses.replace(self.model_cfg, max_phonemes=P, max_frames=M)
-        gen = self.vocoder.generator
-        vapply, _ = gen.runtime()
+        def build():
+            cfg = dataclasses.replace(self.model_cfg, max_phonemes=P, max_frames=M)
+            gen = self.vocoder.generator
+            vapply, _ = gen.runtime()
 
-        def run(params, voc_params, ids, lengths, breath, rough, bright, d, p, e):
-            out = apply_fastspeech2(
-                params, cfg, ids, lengths,
-                target_breath=breath, target_rough=rough, target_bright=bright,
-                d_control=d, p_control=p, e_control=e,
-            )
-            mel = jnp.clip(jnp.nan_to_num(out["mel_pred"], nan=-5.0), -10.0, 2.0)
-            wav = vapply(voc_params, mel, out["mel_len"])
-            return wav, mel, out["mel_len"]
+            def run(params, voc_params, ids, lengths, breath, rough, bright, d, p, e):
+                out = apply_fastspeech2(
+                    params, cfg, ids, lengths,
+                    target_breath=breath, target_rough=rough, target_bright=bright,
+                    d_control=d, p_control=p, e_control=e,
+                )
+                mel = jnp.clip(jnp.nan_to_num(out["mel_pred"], nan=-5.0), -10.0, 2.0)
+                wav = vapply(voc_params, mel, out["mel_len"])
+                return wav, mel, out["mel_len"]
 
-        self._graphs[key] = self._batch_jit(run, n_weights=2)
-        return self._graphs[key]
+            return self._batch_jit(run, n_weights=2)
+
+        return self._graph(("fused", P, M), build)
 
     def _acoustic_batch_graph(self, P: int, M: int):
         """Batched acoustic-only graph with the fused graph's control
         signature — phase 1 of two-phase serving."""
         import dataclasses
 
-        key = ("ac-batch", P, M)
-        if key in self._graphs:
-            return self._graphs[key]
-        cfg = dataclasses.replace(self.model_cfg, max_phonemes=P, max_frames=M)
+        def build():
+            cfg = dataclasses.replace(self.model_cfg, max_phonemes=P, max_frames=M)
 
-        def run(params, ids, lengths, breath, rough, bright, d, p, e):
-            out = apply_fastspeech2(
-                params, cfg, ids, lengths,
-                target_breath=breath, target_rough=rough, target_bright=bright,
-                d_control=d, p_control=p, e_control=e,
-            )
-            mel = jnp.clip(jnp.nan_to_num(out["mel_pred"], nan=-5.0), -10.0, 2.0)
-            return mel, out["mel_len"]
+            def run(params, ids, lengths, breath, rough, bright, d, p, e):
+                out = apply_fastspeech2(
+                    params, cfg, ids, lengths,
+                    target_breath=breath, target_rough=rough, target_bright=bright,
+                    d_control=d, p_control=p, e_control=e,
+                )
+                mel = jnp.clip(jnp.nan_to_num(out["mel_pred"], nan=-5.0), -10.0, 2.0)
+                return mel, out["mel_len"]
 
-        self._graphs[key] = self._batch_jit(run, n_weights=1)
-        return self._graphs[key]
+            return self._batch_jit(run, n_weights=1)
+
+        return self._graph(("ac-batch", P, M), build)
 
     # -- public API ---------------------------------------------------------
 
@@ -308,13 +351,13 @@ class Synthesizer:
         lens = np.asarray(mel_len)  # the batch's single host sync (B ints)
 
         hop = self.vocoder.generator.cfg.hop_recovery
-        voc_params = self.vocoder.generator.runtime()[1]
+        voc_params = self._voc_params()
         groups: dict = {}
         for b, L in enumerate(lens):
             Mv = min(int(np.ceil(max(int(L), 1) / quantum)) * quantum, M)
             groups.setdefault(Mv, []).append(b)
 
-        if "two-phase-gather" not in self._graphs:
+        def build_gather():
             floor = self.audio.mel_clip_min
 
             def gather(mel, mel_len, idx, Mv):
@@ -328,8 +371,9 @@ class Synthesizer:
                     gl,
                 )
 
-            self._graphs["two-phase-gather"] = jax.jit(gather, static_argnums=(3,))
-        gather = self._graphs["two-phase-gather"]
+            return jax.jit(gather, static_argnums=(3,))
+
+        gather = self._graph("two-phase-gather", build_gather)
 
         wav_groups = []
         for Mv, rows in sorted(groups.items()):
@@ -373,7 +417,7 @@ class Synthesizer:
         full = lambda v: None if v is None else jnp.asarray(v)
         return run(
             self.params,
-            self.vocoder.generator.runtime()[1],
+            self._voc_params(),
             jnp.asarray(ids_batch),
             jnp.asarray(lengths, ),
             full(breath),
@@ -488,7 +532,7 @@ class Synthesizer:
             if self.vocoder.is_neural
             else self.audio.hop_length
         )
-        voc_params = self.vocoder.generator.runtime()[1] if self.vocoder.is_neural else {}
+        voc_params = self._voc_params() if self.vocoder.is_neural else {}
         wav = self._vocoder_graph(M_voc)(voc_params, mel_v, mel_len)
         return np.asarray(wav[0, : L * hop]), np.asarray(mel[0, :L])
 
@@ -570,6 +614,19 @@ class Synthesizer:
         # the rest batch normally
         p_cap = self.phoneme_buckets[-1]
         long_set = {i for i in range(len(texts)) if len(ids_list[i]) > p_cap}
+        if long_set:
+            # the over-bucket path forwards only scales + quality tracks;
+            # anything else would be silently dropped for long texts while
+            # in-bucket texts in the same call receive it — make the
+            # divergence explicit instead (ADVICE r2)
+            extra = set(controls) - {"duration_scale", "pitch_scale",
+                                     "energy_scale"}
+            if extra:
+                raise ValueError(
+                    f"controls {sorted(extra)} are not supported for texts "
+                    f"longer than the {p_cap}-phoneme bucket; synthesize "
+                    "those via synthesize_ids directly"
+                )
         for i in long_set:
             n_i = len(ids_list[i])
             row_kw = {}
@@ -604,7 +661,12 @@ class Synthesizer:
             else:
                 if frame_bucket is None:
                     d_scale = float(np.max(g_controls.get("duration_scale", 1.0)))
-                    est = int(np.ceil(int(lens.max()) * 10 * max(d_scale, 0.1))) + 16
+                    # frames/phoneme: checkpoint-calibrated + EMA-tracked
+                    # (the old constant 10 forced saturation→escalation on
+                    # checkpoints trained to longer durations and
+                    # over-allocated on shorter ones)
+                    est = int(np.ceil(int(lens.max()) * self._fpp
+                                      * max(d_scale, 0.1))) + 16
                     M_group = pick_bucket(
                         min(est, self.frame_buckets[-1]), self.frame_buckets
                     )
@@ -623,6 +685,16 @@ class Synthesizer:
                             or (mel_len < M_group).all()):
                         break
                     M_group = self.frame_buckets[self.frame_buckets.index(M_group) + 1]
+                # calibrate the frames/phoneme estimate from unsaturated rows
+                # (saturated rows are truncated, so their ratio understates):
+                # track the batch max ratio with 10% headroom so the next
+                # estimate covers the worst row without escalating
+                ok = mel_len < M_group
+                if frame_bucket is None and ok.any():
+                    d_scale = float(np.max(g_controls.get("duration_scale", 1.0)))
+                    obs = float(np.max(mel_len[ok] / np.maximum(lens[ok], 1)))
+                    obs /= max(d_scale, 0.1)
+                    self._fpp = max(0.7 * self._fpp + 0.3 * obs * 1.1, 1.0)
                 for row, i in enumerate(group):
                     L = int(mel_len[row])
                     results[i] = (wav[row, : L * hop], mel[row, :L])

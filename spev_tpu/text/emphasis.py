@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import List, Sequence
 
 import numpy as np
+from spev_tpu.errors import UserError
 
 
 def parse_emphasis(spec: str) -> List[float]:
@@ -25,7 +26,7 @@ def parse_emphasis(spec: str) -> List[float]:
         try:
             out.append(float(x))
         except ValueError:
-            raise ValueError(
+            raise UserError(
                 f"--word_emphasis expects comma-separated numbers like '1.0,1.5,1.0'; got {x!r}"
             ) from None
     return out

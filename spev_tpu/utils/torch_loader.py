@@ -25,6 +25,7 @@ import zipfile
 from typing import Any
 
 import numpy as np
+from spev_tpu.errors import UserError
 
 _DTYPE_BY_STORAGE = {
     "FloatStorage": np.float32,
@@ -106,7 +107,7 @@ def read_torch_pickle(path: str) -> Any:
     with zipfile.ZipFile(path) as zf:
         pkl_names = [n for n in zf.namelist() if n.endswith("/data.pkl")]
         if not pkl_names:
-            raise ValueError(f"{path} is not a torch zip checkpoint")
+            raise UserError(f"{path} is not a torch zip checkpoint")
         prefix = pkl_names[0][: -len("/data.pkl")]
         with zf.open(pkl_names[0]) as f:
             return _TorchUnpickler(io.BytesIO(f.read()), zf, prefix).load()

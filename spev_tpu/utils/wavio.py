@@ -13,6 +13,7 @@ import struct
 import wave
 
 import numpy as np
+from spev_tpu.errors import UserError
 
 
 def write_wav(path: str, data: np.ndarray, sr: int = 22050) -> None:
@@ -38,7 +39,7 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     with open(path, "rb") as f:
         raw = f.read()
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
-        raise ValueError(f"{path}: not a RIFF/WAVE file")
+        raise UserError(f"{path}: not a RIFF/WAVE file")
     pos = 12
     fmt = None
     data = None
@@ -52,7 +53,7 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
             data = body
         pos += 8 + size + (size & 1)
     if fmt is None or data is None:
-        raise ValueError(f"{path}: missing fmt/data chunk")
+        raise UserError(f"{path}: missing fmt/data chunk")
     audio_format, n_ch, sr, _, _, bits = fmt
     if audio_format == 0xFFFE and len(body) >= 24:  # WAVE_FORMAT_EXTENSIBLE
         audio_format = struct.unpack("<H", body[24:26])[0] if len(body) >= 26 else 1
@@ -73,7 +74,7 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
     elif bits == 8:
         x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
     else:
-        raise ValueError(f"{path}: unsupported bit depth {bits}")
+        raise UserError(f"{path}: unsupported bit depth {bits}")
     if n_ch > 1:
         x = x.reshape(-1, n_ch).mean(axis=1)
     return x, sr

@@ -63,6 +63,9 @@ def test_dataset_build(corpus_ds):
     ds = corpus_ds
     assert len(ds) == 4
     assert {"p_mean", "p_std", "e_mean", "e_std", "c_mean", "c_std"} <= set(ds.stats)
+    # serving-side frame-bucket calibration stat: mean frames/phoneme over
+    # the corpus, consumed by Synthesizer instead of a hard-coded 10
+    assert ds.stats["frames_per_phoneme"] > 0
     # vocab is the sorted union; with espeak-style char tokens the space
     # character sorts before '<PAD>' — same as the reference (SURVEY §2.2)
     assert "<PAD>" in ds.vocab and ds.vocab == sorted(ds.vocab)

@@ -251,6 +251,48 @@ def test_synthesize_many_adaptive_buckets(tmp_path, tiny_gen):
     np.testing.assert_allclose(mel_a, mel_p, atol=1e-5)
 
 
+def test_frames_per_phoneme_calibration(tmp_path, tiny_gen):
+    """The frame-bucket estimate is seeded from the checkpoint's dataset
+    stats and self-calibrates from observed batches (VERDICT r2 #7): a
+    long-duration checkpoint that would saturate under the old constant-10
+    estimate skips the escalation re-run after one calibrating batch."""
+    vocab = _vocab()
+    path, cfg = _make_ckpt(tmp_path, vocab)
+    # default seed when the checkpoint has no stat
+    synth = Synthesizer(path, hifigan_dir=None, model_cfg=cfg, g2p_backend="rules",
+                        phoneme_buckets=(64,), frame_buckets=(64, 128, 256))
+    assert synth._fpp == 10.0
+
+    # checkpoint-carried seed
+    params = init_fastspeech2(jax.random.PRNGKey(0), cfg)
+    params["duration_predictor"]["output_norm"]["bias"] = jnp.asarray([3.0])
+    path2 = str(tmp_path / "fpp.spev")
+    save_checkpoint(path2, params, vocab=vocab.symbols,
+                    stats={"frames_per_phoneme": 19.0})
+    synth2 = Synthesizer(path2, model_cfg=cfg, g2p_backend="rules",
+                         phoneme_buckets=(64,), frame_buckets=(64, 128, 256))
+    synth2.vocoder = Vocoder(generator=tiny_gen)
+    assert synth2._fpp == 19.0
+
+    # ~19 true frames/phoneme: the stat-seeded estimate picks a large-enough
+    # bucket up front, and the post-batch EMA tracks the observed ratio
+    (wav, mel), = synth2.synthesize_many(["hello sir"], batch_size=1)
+    n_ph = len(synth2.g2p.phonemes("hello sir"))
+    obs = mel.shape[0] / n_ph
+    assert wav.shape[0] == mel.shape[0] * tiny_gen.cfg.hop_recovery
+    assert 1.0 <= synth2._fpp <= max(19.0, obs * 1.1) + 1e-6
+    assert synth2._fpp != 19.0  # EMA moved toward the observation
+
+    # a self-calibrating synthesizer (old checkpoint, no stat) converges too:
+    # after one under-estimated batch the EMA covers the observed worst row
+    synth3 = Synthesizer(path2, model_cfg=cfg, g2p_backend="rules",
+                         phoneme_buckets=(64,), frame_buckets=(64, 128, 256))
+    synth3.vocoder = Vocoder(generator=tiny_gen)
+    synth3._fpp = 10.0
+    synth3.synthesize_many(["hello sir"], batch_size=1)
+    assert synth3._fpp > 10.0
+
+
 def test_synthesize_many_per_request_controls(tmp_path, tiny_gen):
     """duration/pitch/energy_scale accept one value per text; each row
     must match a separate run with that scalar."""
