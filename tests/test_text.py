@@ -44,6 +44,96 @@ def test_rules_g2p_deterministic_and_silence_wrapped():
     assert len(g.phonemes("42")) > 3
 
 
+@pytest.fixture
+def espeak_g2p():
+    """Install a fake ``phonemizer`` in sys.modules and reload the g2p
+    module so the espeak branch — the reference's primary frontend
+    (``spev_real_metrics.py:753``) — executes in CI without espeak-ng."""
+    import importlib
+    import sys
+    import types
+
+    import spev_tpu.text.g2p as g2p_mod
+
+    ipa = {"hello world": "həloʊ wɜːld", "hello": "həloʊ", "world": "wɜːld"}
+    calls = []
+
+    def fake_phonemize(text, language=None, backend=None, strip=None, **kw):
+        calls.append((text, language, backend, strip))
+        return ipa.get(text, "aɪ")
+
+    fake = types.ModuleType("phonemizer")
+    fake.phonemize = fake_phonemize
+    had = sys.modules.get("phonemizer")
+    sys.modules["phonemizer"] = fake
+    importlib.reload(g2p_mod)
+    assert g2p_mod._HAS_ESPEAK  # the import guard took the espeak path
+    try:
+        yield g2p_mod, calls
+    finally:
+        if had is None:
+            del sys.modules["phonemizer"]
+        else:
+            sys.modules["phonemizer"] = had
+        importlib.reload(g2p_mod)
+
+
+def test_espeak_backend_reference_tokenization(espeak_g2p):
+    """The espeak path must match the reference exactly: phonemize() called
+    with (language='en-us', backend='espeak', strip=True), the IPA *string*
+    split into single characters (spaces included), wrapped in <SIL>."""
+    g2p_mod, calls = espeak_g2p
+    g = g2p_mod.G2P(backend="auto")  # auto prefers espeak when importable
+    assert g.backend == "espeak"
+    toks = g.phonemes("hello world")
+    assert toks == [SIL] + list("həloʊ wɜːld") + [SIL]
+    assert " " in toks  # the inter-word space is a real token
+    assert calls[-1] == ("hello world", "en-us", "espeak", True)
+    # per-word splitting (emphasis mapping) phonemizes each word alone
+    per_word = g.phonemes_per_word("hello world")
+    assert per_word == [list("həloʊ"), list("wɜːld")]
+
+
+def test_espeak_vocab_interaction(espeak_g2p):
+    """Vocab built from espeak char tokens: the space character sorts before
+    '<PAD>' (the reference quirk — index 0 is whatever sorts first), and the
+    0-vs-1 OOV fallback asymmetry holds."""
+    g2p_mod, _ = espeak_g2p
+    toks = g2p_mod.G2P(backend="espeak").phonemes("hello world")
+    v = Vocab.build(toks)
+    assert v.symbols[0] == " "  # space < '<' in code-point order
+    assert v.pad_id == v.symbols.index(PAD) != 0
+    # reference inference fallback .get(p, 1) vs dataset .get(p, 0)
+    assert v.encode(["ZZZ"], fallback=1)[0] == 1
+    assert v.encode(["ZZZ"], fallback=0)[0] == 0
+
+
+def test_espeak_through_synthesizer(espeak_g2p, tmp_path):
+    """End-to-end: a Synthesizer constructed with g2p_backend='espeak'
+    tokenizes through the mocked phonemizer and produces audio."""
+    import jax
+    import jax.numpy as jnp
+
+    from spev_tpu.config import ModelConfig
+    from spev_tpu.infer.synthesis import Synthesizer
+    from spev_tpu.models.fastspeech2 import init_fastspeech2
+    from spev_tpu.train.checkpoint import save_checkpoint
+
+    g2p_mod, calls = espeak_g2p
+    vocab = Vocab.build(list("həloʊ wɜːld"))
+    cfg = ModelConfig(vocab_size=len(vocab), embed_dim=32, hidden_dim=32, n_mels=80)
+    params = init_fastspeech2(jax.random.PRNGKey(0), cfg)
+    params["duration_predictor"]["output_norm"]["bias"] = jnp.asarray([1.2])
+    path = str(tmp_path / "m.spev")
+    save_checkpoint(path, params, vocab=vocab.symbols, stats={})
+    synth = Synthesizer(path, hifigan_dir=None, model_cfg=cfg,
+                        g2p_backend="espeak",
+                        phoneme_buckets=(64,), frame_buckets=(256,))
+    wav, mel = synth.synthesize("hello world")
+    assert ("hello world", "en-us", "espeak", True) in calls
+    assert np.isfinite(wav).all() and mel.shape[0] >= 1
+
+
 def test_cmudict_backend(tmp_path):
     d = tmp_path / "cmudict.dict"
     d.write_text("hello HH AH0 L OW1\nworld W ER1 L D\nhello(2) HH EH0 L OW1\n")
