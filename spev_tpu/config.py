@@ -33,6 +33,10 @@ class AudioConfig:
     # F0 extraction range (reference ``:311`` pyin fmin=60 fmax=500).
     f0_min: float = 60.0
     f0_max: float = 500.0
+    # F0 tracker for target extraction: 'pyin' = full candidate-lattice HMM
+    # (librosa.pyin semantics, the reference's extractor); 'yin_lite' = the
+    # fast best-trough path (identical voiced_prob, per-frame F0).
+    f0_method: str = "pyin"
 
     @property
     def n_freqs(self) -> int:

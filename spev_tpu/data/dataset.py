@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from spev_tpu.config import AudioConfig
-from spev_tpu.ops.features import rms_energy, spectral_centroid, yin_f0
+from spev_tpu.ops.features import pyin_f0, rms_energy, spectral_centroid, yin_f0
 from spev_tpu.ops.stft import log_mel_spectrogram
 from spev_tpu.text.g2p import G2P
 from spev_tpu.text.textgrid import intervals_to_durations, phone_intervals
@@ -77,17 +77,27 @@ class FeatureExtractor:
             floor=a.mel_floor, clip_min=a.mel_clip_min, clip_max=a.mel_clip_max,
         )
 
+    def _f0_fn(self, a, hop_length: int):
+        # 'pyin' = the reference's extractor semantics (full candidate-lattice
+        # HMM, librosa.pyin); 'yin_lite' = fast best-trough path.
+        if getattr(a, "f0_method", "pyin") == "pyin":
+            return lambda y: pyin_f0(
+                y, sr=a.sample_rate, fmin=a.f0_min, fmax=a.f0_max, hop_length=hop_length
+            )
+        return lambda y: yin_f0(
+            y, sr=a.sample_rate, fmin=a.f0_min, fmax=a.f0_max, hop_length=hop_length
+        )
+
     def _get_full(self, n: int):
         if n not in self._full:
             a = self.audio
             mel_fn = self._mel_fn(a)
+            f0_fn = self._f0_fn(a, a.hop_length)
 
             @jax.jit
             def run(y):
                 mel = mel_fn(y)
-                f0, _, vprob = yin_f0(
-                    y, sr=a.sample_rate, fmin=a.f0_min, fmax=a.f0_max, hop_length=a.hop_length
-                )
+                f0, _, vprob = f0_fn(y)
                 rms = rms_energy(y, hop_length=a.hop_length)
                 cent = spectral_centroid(y, sr=a.sample_rate, hop_length=a.hop_length)
                 return mel, f0, vprob, rms, cent
@@ -98,12 +108,12 @@ class FeatureExtractor:
     def _get_stats(self, n: int):
         if n not in self._stats_fn:
             a = self.audio
+            # stats pass uses the pyin default hop (frame_length//4 = 512)
+            f0_fn = self._f0_fn(a, 512)
 
             @jax.jit
             def run(y):
-                # stats pass uses the pyin default hop (frame_length//4 = 512)
-                f0, _, _ = yin_f0(y, sr=a.sample_rate, fmin=a.f0_min, fmax=a.f0_max,
-                                  hop_length=512)
+                f0, _, _ = f0_fn(y)
                 rms = rms_energy(y, hop_length=a.hop_length)
                 cent = spectral_centroid(y, sr=a.sample_rate, hop_length=a.hop_length)
                 return f0, rms, cent

@@ -20,7 +20,7 @@ from spev_tpu.ops.stft import (
     hann_window,
 )
 from spev_tpu.ops.length_regulator import length_regulate, regulate_lengths
-from spev_tpu.ops.features import rms_energy, spectral_centroid, yin_f0
+from spev_tpu.ops.features import pyin_f0, rms_energy, spectral_centroid, yin_f0
 from spev_tpu.ops.griffin_lim import griffin_lim, mel_to_audio
 
 __all__ = [
@@ -35,6 +35,7 @@ __all__ = [
     "regulate_lengths",
     "rms_energy",
     "spectral_centroid",
+    "pyin_f0",
     "yin_f0",
     "griffin_lim",
     "mel_to_audio",

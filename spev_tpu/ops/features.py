@@ -10,13 +10,24 @@ The reference extracts training targets with librosa
   voiced log-F0 — SURVEY.md §2.2).
 
 This module reimplements them natively in JAX.  RMS and centroid are exact
-librosa equivalents.  F0/voicing is a "pyin-lite": the YIN cumulative-mean
-normalized difference function (CMNDF) computed with FFT autocorrelation,
-parabolic interpolation for sub-bin F0, and pyin's Beta(2, 18) threshold
-prior integrated into a per-frame voicing probability — without the full
-pyin HMM Viterbi smoothing (the targets are z-scored per-corpus, so the
-small bias this removes washes out; the reference's own F0 path is replaced,
-not wrapped, because librosa is not a dependency of this framework).
+librosa equivalents.  Two F0 trackers are provided:
+
+- ``pyin_f0`` — the **full pyin HMM** with librosa's semantics: per-trough
+  Boltzmann×Beta(2, 18) candidate probabilities, a 0.1-semitone pitch-bin
+  lattice doubled into voiced/unvoiced halves, a triangular local-transition
+  kernel bounded by ``max_transition_rate`` octaves/s, and a Viterbi decode
+  over the full candidate × voicing state space.  This is the default
+  extractor for training targets (``AudioConfig.f0_method='pyin'``).
+- ``yin_f0`` — a "pyin-lite" fast path: the same CMNDF + Beta threshold
+  prior (so ``voiced_prob``, and hence the breath target, is *identical* to
+  the full pyin's pre-Viterbi voicing mass), but per-frame best-trough F0
+  with only a 2-state voicing Viterbi.  Used where a cheap symmetric
+  comparison suffices (e.g. F0-RMSE between two wavs in ``diag/quality``).
+
+librosa is not a dependency of this framework; both paths are native JAX
+re-derivations of the published algorithm (Mauch & Dixon 2014) matched to
+librosa's defaults, since the reference's targets come from
+``librosa.pyin`` (``spev_real_metrics.py:311-316,408-415``).
 """
 
 from __future__ import annotations
@@ -236,3 +247,236 @@ def _viterbi_voicing(voiced_prob: jnp.ndarray) -> jnp.ndarray:
     first, states_tail = jax.lax.scan(back, last, ptrs, reverse=True)
     states = jnp.concatenate([first[None], states_tail])  # times 0 .. N-1
     return states.astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# Full pyin: candidate-lattice HMM (librosa semantics)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _pyin_lattice(
+    sr: int,
+    fmin: float,
+    fmax: float,
+    hop_length: int,
+    n_bins_per_semitone: int,
+    max_transition_rate: float,
+    switch_prob: float,
+):
+    """Static pyin lattice pieces: bin center frequencies, log-transition
+    matrix over the doubled (voiced ⊕ unvoiced) pitch-bin state space, and
+    the log initial distribution.  Pure numpy — computed once per config.
+
+    Matches librosa.pyin: ``n_pitch_bins = floor(12·bps·log2(fmax/fmin))+1``
+    bins at 1/bps-semitone resolution; within-voicing transitions are a
+    triangular window of half-width ``round(rate·12·hop/sr)·bps`` bins,
+    truncated at the range edges and renormalized per row; voicing flips
+    with probability ``switch_prob``; the chain starts uniform over the
+    unvoiced half.
+    """
+    bps = n_bins_per_semitone
+    n_bins = int(np.floor(12 * bps * np.log2(fmax / fmin))) + 1
+    freqs = fmin * 2.0 ** (np.arange(n_bins) / (12.0 * bps))
+
+    max_semitones_per_frame = round(max_transition_rate * 12 * hop_length / sr)
+    width = max_semitones_per_frame * bps + 1  # odd triangular window length
+    half = width // 2
+    # triang(2k+1) at offset d from center: (k + 1 - |d|) / (k + 1)
+    offs = np.arange(-half, half + 1)
+    tri = (half + 1 - np.abs(offs)) / (half + 1)
+    local = np.zeros((n_bins, n_bins))
+    for i in range(n_bins):
+        lo, hi = max(0, i - half), min(n_bins, i + half + 1)
+        local[i, lo:hi] = tri[(lo - i) + half : (hi - i) + half]
+    local /= local.sum(axis=1, keepdims=True)
+
+    t_switch = np.array(
+        [[1.0 - switch_prob, switch_prob], [switch_prob, 1.0 - switch_prob]]
+    )
+    transition = np.kron(t_switch, local)  # (2n, 2n)
+
+    p_init = np.zeros(2 * n_bins)
+    p_init[n_bins:] = 1.0 / n_bins
+
+    tiny = np.finfo(np.float64).tiny
+    log_trans = np.log(transition + tiny).astype(np.float32)
+    log_init = np.log(p_init + tiny).astype(np.float32)
+    return n_bins, freqs.astype(np.float32), log_trans, log_init
+
+
+def _trough_probs(
+    cmndf_band: jnp.ndarray,
+    n_thresholds: int,
+    beta_a: float,
+    beta_b: float,
+    boltzmann_parameter: float,
+    no_trough_prob: float,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-lag candidate probabilities and parabolic shifts for each frame.
+
+    ``cmndf_band``: (N, L) CMNDF restricted to the valid lag band
+    [tau_min, tau_max].  Returns ``(probs, shifts)`` both (N, L); probs is
+    zero at non-trough lags and sums (per frame) to the pyin voiced mass.
+
+    librosa semantics: a lag is a trough when it is a local minimum of the
+    band (strict left, non-strict right; edge-padded), with the first lag a
+    trough iff d'[0] < d'[1].  For each of ``n_thresholds`` absolute
+    thresholds with Beta(a, b) prior mass, qualifying troughs (height below
+    the threshold) split that mass by a Boltzmann prior over their lag-order
+    rank; thresholds that no trough clears give ``no_trough_prob`` of their
+    mass to the global-minimum trough.
+    """
+    n, L = cmndf_band.shape
+    thresholds, beta_w = _beta_threshold_weights(n_thresholds, beta_a, beta_b)
+    thresholds = jnp.asarray(thresholds)
+    beta_w = jnp.asarray(beta_w)
+
+    left = jnp.concatenate([cmndf_band[:, :1], cmndf_band[:, :-1]], axis=1)
+    right = jnp.concatenate([cmndf_band[:, 1:], cmndf_band[:, -1:]], axis=1)
+    is_trough = (cmndf_band < left) & (cmndf_band <= right)
+    is_trough = is_trough.at[:, 0].set(cmndf_band[:, 0] < cmndf_band[:, 1])
+
+    heights = jnp.where(is_trough, cmndf_band, jnp.inf)  # (N, L)
+    global_min = jnp.argmin(heights, axis=1)  # (N,)
+
+    lam = boltzmann_parameter
+    one_minus = 1.0 - float(np.exp(-lam))
+
+    def per_threshold(acc, tw):
+        thr, w = tw
+        probs_acc, nt_acc = acc
+        qual = heights < thr  # (N, L)
+        n_troughs = jnp.sum(qual, axis=1, keepdims=True)  # (N, 1)
+        rank = jnp.cumsum(qual, axis=1) - 1  # (N, L), rank in lag order
+        denom = 1.0 - jnp.exp(-lam * jnp.maximum(n_troughs, 1).astype(jnp.float32))
+        boltz = one_minus * jnp.exp(-lam * rank.astype(jnp.float32)) / denom
+        probs_acc = probs_acc + w * jnp.where(qual, boltz, 0.0)
+        nt_acc = nt_acc + w * (n_troughs[:, 0] == 0)
+        return (probs_acc, nt_acc), None
+
+    (probs, nt_mass), _ = jax.lax.scan(
+        per_threshold,
+        (jnp.zeros((n, L)), jnp.zeros((n,))),
+        (thresholds, beta_w),
+    )
+    probs = probs.at[jnp.arange(n), global_min].add(no_trough_prob * nt_mass)
+    # keep the mass on actual troughs only (global_min of an all-unvoiced
+    # frame may land on a non-trough argmin; librosa skips such frames)
+    any_trough = jnp.any(is_trough, axis=1, keepdims=True)
+    probs = jnp.where(is_trough & any_trough, probs, 0.0)
+
+    # parabolic shifts on the band (boundary lags keep shift 0; |shift|>1
+    # zeroed, matching librosa's _parabolic_interpolation)
+    c0, c1, c2 = cmndf_band[:, :-2], cmndf_band[:, 1:-1], cmndf_band[:, 2:]
+    a = (c0 + c2 - 2.0 * c1) / 2.0
+    b = (c2 - c0) / 2.0
+    shift_mid = -b / (2.0 * a + 1e-30)
+    shift_mid = jnp.where(jnp.abs(shift_mid) > 1.0, 0.0, shift_mid)
+    shifts = jnp.pad(shift_mid, ((0, 0), (1, 1)))
+    return probs, shifts
+
+
+def pyin_f0(
+    y: jnp.ndarray,
+    sr: int = 22050,
+    fmin: float = 60.0,
+    fmax: float = 500.0,
+    frame_length: int = 2048,
+    hop_length: int = 512,
+    center: bool = True,
+    n_thresholds: int = 100,
+    beta_parameters: tuple[float, float] = (2.0, 18.0),
+    boltzmann_parameter: float = 2.0,
+    resolution: float = 0.1,
+    max_transition_rate: float = 35.92,
+    switch_prob: float = 0.01,
+    no_trough_prob: float = 0.01,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full pyin F0 tracker — librosa.pyin semantics, native JAX.
+
+    Returns ``(f0, voiced_flag, voiced_prob)``, each (n_frames,):
+
+    - ``voiced_prob``: per-frame voiced candidate mass (clipped to [0, 1]),
+      computed *before* Viterbi exactly as librosa does — this is what the
+      breath target ``1 − mean(voiced_prob)`` consumes
+      (reference ``spev_real_metrics.py:311-316``);
+    - ``f0``: the Viterbi-decoded pitch-bin center frequency (quantized to
+      ``resolution`` semitones like librosa's), NaN on unvoiced frames;
+    - ``voiced_flag``: decoded state in the voiced half of the lattice.
+
+    The HMM is the full candidate lattice: ``n_pitch_bins`` voiced states at
+    1/``resolution``-per-semitone spacing plus a mirrored unvoiced half;
+    triangular local pitch transitions bounded by ``max_transition_rate``
+    octaves/s; voicing switch probability ``switch_prob``.  All pieces are
+    static for a given config, so the whole tracker jits with fixed shapes
+    (Viterbi is a ``lax.scan`` over frames of a dense max-plus step — the
+    (2n)² step fits comfortably in VMEM and vectorizes on the VPU).
+
+    Known deviations from librosa, both documented + tested as inert:
+    parallel troughs landing in the same 0.1-semitone bin *sum* their mass
+    (librosa's fancy-index assignment keeps the last); candidates rounding
+    past the top bin are dropped (librosa writes them into a row the
+    unvoiced fill then overwrites — also a drop).
+    """
+    bps = int(np.ceil(1.0 / resolution))
+    n_bins, freqs, log_trans, log_init = _pyin_lattice(
+        sr, fmin, fmax, hop_length, bps, max_transition_rate, switch_prob
+    )
+
+    win_length = frame_length // 2
+    tau_min = max(1, int(sr / fmax))
+    tau_max = min(int(np.ceil(sr / fmin)), frame_length - win_length - 1)
+
+    if center:
+        y = jnp.pad(y, (frame_length // 2, frame_length // 2))
+    frames = frame_signal(y, frame_length, hop_length, center=False)
+    cmndf = _cmndf(frames, tau_max, win_length)  # (N, tau_max+1)
+    band = cmndf[:, tau_min : tau_max + 1]  # (N, L)
+    n = band.shape[0]
+
+    beta_a, beta_b = beta_parameters
+    probs, shifts = _trough_probs(
+        band, n_thresholds, beta_a, beta_b, boltzmann_parameter, no_trough_prob
+    )
+
+    periods = (
+        jnp.arange(tau_min, tau_max + 1, dtype=jnp.float32)[None, :] + shifts
+    )
+    f0_cand = sr / jnp.maximum(periods, 1e-6)
+    bin_idx = 12.0 * bps * jnp.log2(jnp.maximum(f0_cand, 1e-6) / fmin)
+    bin_idx = jnp.clip(jnp.round(bin_idx), 0, n_bins).astype(jnp.int32)
+
+    # scatter candidate mass into the voiced half (bin == n_bins → dropped)
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], bin_idx.shape)
+    obs_voiced = jnp.zeros((n, n_bins + 1)).at[rows, bin_idx].add(probs)[:, :n_bins]
+    voiced_prob = jnp.clip(jnp.sum(obs_voiced, axis=1), 0.0, 1.0)
+    obs_unvoiced = jnp.broadcast_to(
+        ((1.0 - voiced_prob) / n_bins)[:, None], (n, n_bins)
+    )
+    obs = jnp.concatenate([obs_voiced, obs_unvoiced], axis=1)  # (N, 2n)
+    log_obs = jnp.log(obs + float(np.finfo(np.float64).tiny))
+
+    # Viterbi over the doubled lattice
+    log_trans = jnp.asarray(log_trans)
+
+    def fwd(carry, ob):
+        scores = carry[:, None] + log_trans  # (2n, 2n): prev -> cur
+        best = jnp.max(scores, axis=0)
+        ptr = jnp.argmax(scores, axis=0).astype(jnp.int32)
+        return best + ob, ptr
+
+    init = jnp.asarray(log_init) + log_obs[0]
+    final, ptrs = jax.lax.scan(fwd, init, log_obs[1:])  # ptrs: (N-1, 2n)
+    last = jnp.argmax(final).astype(jnp.int32)
+
+    def back(state, ptr):
+        return ptr[state], state
+
+    first, tail = jax.lax.scan(back, last, ptrs, reverse=True)
+    states = jnp.concatenate([first[None], tail])  # (N,)
+
+    voiced_flag = states < n_bins
+    f0 = jnp.asarray(freqs)[states % n_bins]
+    f0 = jnp.where(voiced_flag, f0, jnp.nan)
+    return f0, voiced_flag, voiced_prob
