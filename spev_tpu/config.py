@@ -111,6 +111,11 @@ class ModelConfig:
     # steps/s in bf16 mode).
     use_pallas_lr: "bool | str" = "auto"
 
+    # run the six/seven variance predictors as one vmapped pass over
+    # stacked params (K-batched matmuls fill the MXU; bitwise-equal to the
+    # sequential path including dropout keys).  False = sequential.
+    fused_predictors: bool = True
+
     # rematerialize FFT blocks in the backward pass (jax.checkpoint):
     # trades ~30% more FLOPs for not keeping the decoder's 2048-frame
     # attention activations live — enables long-sequence/batch training

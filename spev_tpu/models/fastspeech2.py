@@ -173,6 +173,36 @@ def _variance_predictor(
     return out[..., 0]
 
 
+def _variance_predictors_fused(
+    params: dict,
+    names: list,
+    x: jnp.ndarray,
+    cfg: ModelConfig,
+    pad_mask: jnp.ndarray,
+    rngs: Optional[jnp.ndarray],
+    deterministic: bool,
+) -> jnp.ndarray:
+    """All K variance predictors in one vmapped pass over stacked params.
+
+    The predictors share one architecture and one input, so stacking their
+    parameter trees turns K small conv/matmul dispatches per layer into one
+    K-batched matmul — better MXU occupancy on TPU, identical math
+    (verified bitwise-equal to the sequential path in
+    ``tests/test_parity_torch.py::test_fused_predictors_match_sequential``).
+    ``rngs``: (K, key) stacked dropout keys in the same per-predictor order
+    the sequential path consumes, so dropout masks are identical too.
+    Returns (K, B, T) raw predictor outputs (clamps applied by the caller).
+    """
+    stacked = jax.tree.map(lambda *leaves: jnp.stack(leaves), *[params[n] for n in names])
+    if rngs is not None:
+        return jax.vmap(
+            lambda p, r: _variance_predictor(p, x, cfg, pad_mask, r, deterministic)
+        )(stacked, rngs)
+    return jax.vmap(
+        lambda p: _variance_predictor(p, x, cfg, pad_mask, None, deterministic)
+    )(stacked)
+
+
 def apply_fastspeech2(
     params: dict,
     cfg: ModelConfig,
@@ -233,39 +263,38 @@ def apply_fastspeech2(
     if encoder_bias is not None:
         x = jnp.where(src_mask[..., None], 0.0, x + encoder_bias)
 
-    # predictors with the strict clamp contract (``:199-204``)
-    log_dur_pred = jnp.clip(
-        _variance_predictor(params["duration_predictor"], x, cfg, src_mask, next_rng(), deterministic),
-        *clamps.log_dur,
-    )
-    pitch_pred = jnp.clip(
-        _variance_predictor(params["pitch_predictor"], x, cfg, src_mask, next_rng(), deterministic),
-        *clamps.pitch,
-    )
-    energy_pred = jnp.clip(
-        _variance_predictor(params["energy_predictor"], x, cfg, src_mask, next_rng(), deterministic),
-        *clamps.energy,
-    )
-    bright_pred = jnp.clip(
-        _variance_predictor(params["bright_predictor"], x, cfg, src_mask, next_rng(), deterministic),
-        *clamps.bright,
-    )
-    breath_pred = jnp.clip(
-        _variance_predictor(params["breath_predictor"], x, cfg, src_mask, next_rng(), deterministic),
-        *clamps.breath,
-    )
-    rough_pred = jnp.clip(
-        _variance_predictor(params["rough_predictor"], x, cfg, src_mask, next_rng(), deterministic),
-        *clamps.rough,
-    )
+    # predictors with the strict clamp contract (``:199-204``).  The six
+    # (seven with nasality) identical predictor stacks run as ONE vmapped
+    # pass over stacked params — K-batched matmuls instead of K small
+    # dispatches (cfg.fused_predictors; bitwise-equal to sequential).
+    has_nasal = cfg.use_nasality and "nasal_predictor" in params
+    pred_names = ["duration_predictor", "pitch_predictor", "energy_predictor",
+                  "bright_predictor", "breath_predictor", "rough_predictor"]
+    if has_nasal:
+        pred_names.append("nasal_predictor")
+    if getattr(cfg, "fused_predictors", True):
+        pred_rngs = (
+            jnp.stack([next_rng() for _ in pred_names]) if rngs is not None else None
+        )
+        raw = _variance_predictors_fused(
+            params, pred_names, x, cfg, src_mask, pred_rngs, deterministic
+        )
+    else:
+        raw = jnp.stack([
+            _variance_predictor(params[n], x, cfg, src_mask, next_rng(), deterministic)
+            for n in pred_names
+        ])
+    log_dur_pred = jnp.clip(raw[0], *clamps.log_dur)
+    pitch_pred = jnp.clip(raw[1], *clamps.pitch)
+    energy_pred = jnp.clip(raw[2], *clamps.energy)
+    bright_pred = jnp.clip(raw[3], *clamps.bright)
+    breath_pred = jnp.clip(raw[4], *clamps.breath)
+    rough_pred = jnp.clip(raw[5], *clamps.rough)
     nasal_pred = None
-    if cfg.use_nasality and "nasal_predictor" in params:
+    if has_nasal:
         # learned nasality channel (PRODUCTION_SYSTEM_SUMMARY.md:55-69):
         # documented control range 0-1
-        nasal_pred = jnp.clip(
-            _variance_predictor(params["nasal_predictor"], x, cfg, src_mask, next_rng(), deterministic),
-            0.0, 1.0,
-        )
+        nasal_pred = jnp.clip(raw[6], 0.0, 1.0)
 
     teacher_forced = target_durations is not None
     if teacher_forced:

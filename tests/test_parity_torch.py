@@ -270,3 +270,38 @@ def test_teacher_forced_parity_equal_length_batch(twin_and_params):
         mel_t = t_out["mel"][b, :L].numpy()
         mel_j = np.asarray(j_out["mel_pred"])[b, :L]
         assert np.abs(mel_t - mel_j).mean() < 1e-4
+
+
+def test_fused_predictors_match_sequential():
+    """The vmapped stacked-predictor pass must equal the sequential path
+    bitwise — same outputs AND same dropout keys consumed per predictor
+    (training mode with a live rng)."""
+    import dataclasses
+
+    from spev_tpu.models.fastspeech2 import init_fastspeech2
+
+    cfg = ModelConfig(vocab_size=30, embed_dim=32, hidden_dim=32, n_mels=20,
+                      max_phonemes=16, max_frames=64, use_nasality=True)
+    params = init_fastspeech2(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    ids = rng.integers(1, 30, (2, 16)).astype(np.int32)
+    lens = jnp.asarray([16, 11])
+    durs = jnp.asarray(np.full((2, 16), 3, np.float32))
+    tgts = dict(
+        target_durations=durs,
+        target_pitch=jnp.zeros((2, 16)), target_energy=jnp.zeros((2, 16)),
+        target_breath=jnp.zeros((2, 16)), target_rough=jnp.zeros((2, 16)),
+        target_bright=jnp.zeros((2, 16)), target_nasal=jnp.zeros((2, 16)),
+    )
+    cfg_seq = dataclasses.replace(cfg, fused_predictors=False)
+    for drop_rng in (None, jax.random.PRNGKey(7)):
+        det = drop_rng is None
+        out_f = apply_fastspeech2(params, cfg, jnp.asarray(ids), lens,
+                                  dropout_rng=drop_rng, deterministic=det, **tgts)
+        out_s = apply_fastspeech2(params, cfg_seq, jnp.asarray(ids), lens,
+                                  dropout_rng=drop_rng, deterministic=det, **tgts)
+        for k in ("log_duration_pred", "pitch_pred", "energy_pred",
+                  "bright_pred", "breath_pred", "rough_pred", "nasal_pred",
+                  "mel_pred"):
+            a, b = np.asarray(out_f[k]), np.asarray(out_s[k])
+            assert np.array_equal(a, b), (k, np.abs(a - b).max())
