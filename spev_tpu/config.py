@@ -121,6 +121,13 @@ class ModelConfig:
     # attention activations live — enables long-sequence/batch training
     remat: bool = False
 
+    # remat granularity when remat=True: 'full' recomputes the whole block
+    # (max memory savings); 'dots' saves matmul outputs and recomputes only
+    # elementwise/norm ops (jax.checkpoint_policies.dots_saveable) — the
+    # usual MFU-optimal point on TPU, where recomputing MXU work is the
+    # expensive part and HBM pressure comes from the elementwise chain
+    remat_policy: str = "full"
+
     # static-shape buckets (TPU compilation contract; not part of reference
     # numerics — padding is masked out everywhere)
     max_phonemes: int = 256

@@ -255,7 +255,9 @@ def apply_fastspeech2(
 
     block_fn = _fft_block
     if cfg.remat:
-        block_fn = jax.checkpoint(_fft_block, static_argnums=(2, 5))
+        policy = (jax.checkpoint_policies.dots_saveable
+                  if cfg.remat_policy == "dots" else None)
+        block_fn = jax.checkpoint(_fft_block, static_argnums=(2, 5), policy=policy)
 
     for block in params["encoder_blocks"]:
         x = block_fn(block, x, cfg, src_mask, next_rng(), deterministic)

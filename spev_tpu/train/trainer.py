@@ -339,21 +339,35 @@ class Trainer:
         vw = 0.0 if self.epoch < self.cfg.train.warmup_epochs else 1.0
         total, n = 0.0, 0
         last_metrics = {}
-        for batch in batches:
-            step = self._get_step(vw, batch)
-            self.rng, drop = jax.random.split(self.rng)
-            self.state, metrics = step(self.state, batch, drop)
-            skipped = float(metrics["skipped"])
-            if skipped > 0.5:
+        pending = None  # device metrics of the previous step, fetched lazily
+
+        def consume(metrics):
+            # Host-fetch a step's metrics.  Called one step LATE so the
+            # float() sync overlaps the NEXT step's device execution (async
+            # dispatch pipelining); the NaN budget therefore trips at most
+            # one step after the offending batch, which preserves the
+            # reference's abort-after-budget contract (``:569-571``).
+            nonlocal total, n, last_metrics
+            if float(metrics["skipped"]) > 0.5:
                 self.nan_count += 1
                 if self.nan_count > self.cfg.train.max_nan_batches:
                     raise RuntimeError(
                         f"Too many NaN batches ({self.nan_count}). Stopping training."
                     )
-                continue
+                return
             total += float(metrics["loss"])
             n += 1
             last_metrics = metrics
+
+        for batch in batches:
+            step = self._get_step(vw, batch)
+            self.rng, drop = jax.random.split(self.rng)
+            self.state, metrics = step(self.state, batch, drop)
+            if pending is not None:
+                consume(pending)
+            pending = metrics
+        if pending is not None:
+            consume(pending)
         self.epoch += 1
         out = {k: float(v) for k, v in last_metrics.items()}
         out["train_loss"] = total / max(n, 1)

@@ -271,3 +271,27 @@ def test_tensor_parallel_block_collectives_are_megatron():
     assert count("all-reduce") == 2, txt[:2000]
     for op in ("all-gather", "collective-permute", "all-to-all", "reduce-scatter"):
         assert count(op) == 0, op
+
+
+@pytest.mark.parametrize("policy", ["full", "dots"])
+def test_remat_train_step_matches_plain(policy):
+    """remat=True (both granularities) must change memory, not math: one
+    train step from the same init on the same batch yields the same loss
+    and allclose params vs the no-remat step."""
+    import dataclasses
+
+    cfg = tiny_cfg()
+    cfg_r = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, remat=True, remat_policy=policy)
+    )
+    mesh = make_mesh((1, 1), ("data", "model"))
+    batch = shard_batch(mesh, synth_batch(np.random.default_rng(7)))
+    outs = []
+    for c in (cfg, cfg_r):
+        state = init_train_state(jax.random.PRNGKey(5), c)
+        step = make_train_step(c, mesh, state.params, use_dropout=False)
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        outs.append((float(metrics["loss"]), state.params))
+    assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-6)
+    for a, b in zip(jax.tree.leaves(outs[0][1]), jax.tree.leaves(outs[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
