@@ -16,6 +16,18 @@ import jax
 # start; force it back to CPU before any backend is initialized.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite compiles hundreds of tiny
+# near-identical graphs; caching them across runs cuts the quick tier by
+# minutes (VERDICT r2 #8).  Keyed by XLA version + flags + topology, so the
+# 8-virtual-device layout above is part of the key.  SPEV_TEST_CACHE=0
+# disables (e.g. when bisecting compiler-level behavior).
+if os.environ.get("SPEV_TEST_CACHE", "1") != "0":
+    _cache_dir = os.path.expanduser("~/.cache/spev_tpu/xla_tests_cpu")
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 

@@ -273,25 +273,28 @@ def test_tensor_parallel_block_collectives_are_megatron():
         assert count(op) == 0, op
 
 
-@pytest.mark.parametrize("policy", ["full", "dots"])
-def test_remat_train_step_matches_plain(policy):
+def test_remat_train_step_matches_plain():
     """remat=True (both granularities) must change memory, not math: one
     train step from the same init on the same batch yields the same loss
     and allclose params vs the no-remat step."""
     import dataclasses
 
     cfg = tiny_cfg()
-    cfg_r = dataclasses.replace(
-        cfg, model=dataclasses.replace(cfg.model, remat=True, remat_policy=policy)
-    )
+    variants = [cfg] + [
+        dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, remat=True, remat_policy=p)
+        )
+        for p in ("full", "dots")
+    ]
     mesh = make_mesh((1, 1), ("data", "model"))
     batch = shard_batch(mesh, synth_batch(np.random.default_rng(7)))
     outs = []
-    for c in (cfg, cfg_r):
+    for c in variants:
         state = init_train_state(jax.random.PRNGKey(5), c)
         step = make_train_step(c, mesh, state.params, use_dropout=False)
         state, metrics = step(state, batch, jax.random.PRNGKey(0))
         outs.append((float(metrics["loss"]), state.params))
-    assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-6)
-    for a, b in zip(jax.tree.leaves(outs[0][1]), jax.tree.leaves(outs[1][1])):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+    for loss_r, params_r in outs[1:]:
+        assert outs[0][0] == pytest.approx(loss_r, rel=1e-6)
+        for a, b in zip(jax.tree.leaves(outs[0][1]), jax.tree.leaves(params_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
