@@ -170,6 +170,9 @@ class TrainConfig:
     # the first `warmup_epochs` train only mel+duration; variance-predictor
     # losses are enabled afterwards.  0 = single-phase (spev_real_metrics).
     warmup_epochs: int = 0
+    # batches staged ahead of the device by a background thread (npz loads
+    # + collate overlap compute — data/prefetch.py); 0 disables
+    prefetch_batches: int = 2
     seed: int = 0
     # mesh axes; data-parallel is the reference-parity strategy, the model
     # axis is plumbed so tensor parallelism is a config change (SURVEY §2.4)

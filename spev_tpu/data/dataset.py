@@ -215,6 +215,9 @@ class SpevDataset:
             self.stats = meta["stats"]
             self.vocab = meta["vocab"]
             self.speakers = meta.get("speakers", [])
+            # per-utterance (n_phonemes, n_frames); caches built before the
+            # field existed return None and callers fall back to loading
+            self.lengths = meta.get("lengths")
             return
 
         fx = FeatureExtractor(audio)
@@ -254,6 +257,7 @@ class SpevDataset:
         vocab_set = set(SPECIALS)
         speaker_set = set()
         self.files = []
+        self.lengths = []
         entries = []
         tot_frames = tot_phonemes = 0
         for i, wav_path in enumerate(wavs):
@@ -268,6 +272,7 @@ class SpevDataset:
             tot_phonemes += len(phs)
             vocab_set.update(phs)
             self.files.append(path)
+            self.lengths.append((len(phs), int(n_frames)))
             if multi_speaker:
                 spk = os.path.basename(wav_path).split("_")[0]
                 speaker_set.add(spk)
@@ -293,7 +298,7 @@ class SpevDataset:
         self.files = [os.path.basename(p) for p in self.files]
         with open(meta_path, "w") as f:
             json.dump({"files": self.files, "stats": self.stats, "vocab": self.vocab,
-                       "speakers": self.speakers}, f)
+                       "speakers": self.speakers, "lengths": self.lengths}, f)
 
     def _load(self, path: str) -> np.ndarray:
         # native C++ decoder when built (falls back to the Python reader)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import optax
 
 from spev_tpu.config import SpevConfig
+from spev_tpu.data.prefetch import prefetch
 from spev_tpu.models.fastspeech2 import apply_fastspeech2, init_fastspeech2
 from spev_tpu.parallel.mesh import (
     batch_sharding,
@@ -340,6 +341,9 @@ class Trainer:
         total, n = 0.0, 0
         last_metrics = {}
         pending = None  # device metrics of the previous step, fetched lazily
+        # stage batches ahead of the device (npz loads + collate overlap
+        # compute; TrainConfig.prefetch_batches=0 disables)
+        batches = prefetch(batches, depth=self.cfg.train.prefetch_batches)
 
         def consume(metrics):
             # Host-fetch a step's metrics.  Called one step LATE so the

@@ -134,3 +134,43 @@ def test_prep_esd_layout(tmp_path):
     assert n == 1
     assert (out / "0001_000351_angry.wav").exists()
     assert (out / "0001_000351_angry.txt").read_text() == "Some angry words"
+
+
+def test_metadata_lengths_skip_loads(corpus_ds):
+    """The cache metadata carries per-utterance (n_phonemes, n_frames) so
+    BucketBatcher can bucket without loading every npz; keys must be
+    identical to the load-based fallback path (old caches)."""
+    assert corpus_ds.lengths is not None and len(corpus_ds.lengths) == len(corpus_ds)
+    for i in range(len(corpus_ds)):
+        u = corpus_ds.load_utterance(i)
+        assert tuple(corpus_ds.lengths[i]) == (len(u["phs"]), int(u["mel"].shape[0]))
+
+    ds2 = SpevDataset("unused", cache_dir=corpus_ds.cache_dir)
+    assert [tuple(l) for l in ds2.lengths] == [tuple(l) for l in corpus_ds.lengths]
+    vocab = Vocab(corpus_ds.vocab)
+    kw = dict(batch_size=2, phoneme_buckets=(64,), frame_buckets=(128,))
+    fast = BucketBatcher(ds2, vocab, **kw)
+    ds2.lengths = None  # old-cache path: forced to load
+    slow = BucketBatcher(ds2, vocab, **kw)
+    assert fast._keys == slow._keys
+    for a, b in zip(fast.epoch(3), slow.epoch(3)):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_prefetch_preserves_order_and_errors():
+    from spev_tpu.data.prefetch import prefetch
+
+    assert list(prefetch(iter(range(100)), depth=3)) == list(range(100))
+    assert list(prefetch(iter([]), depth=2)) == []
+    # depth<=0 disables (plain iterator back)
+    assert list(prefetch(iter([1, 2]), depth=0)) == [1, 2]
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer failed")
+
+    it = prefetch(boom(), depth=2)
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer failed"):
+        list(it)
