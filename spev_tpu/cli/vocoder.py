@@ -127,8 +127,15 @@ def main(argv=None) -> None:
     log_dir = os.path.join("logs", args.name)
     os.makedirs(ckpt_dir, exist_ok=True)
 
-    for i in range(args.steps):
-        mel, wav = batch()
+    # stage crops+mels ahead of the GAN step (wav decode / crop / mel
+    # frontend overlap device training; see data/prefetch.py)
+    from spev_tpu.data.prefetch import prefetch
+
+    def batches():
+        for _ in range(args.steps):
+            yield batch()
+
+    for i, (mel, wav) in enumerate(prefetch(batches(), depth=2)):
         state, m = step(state, mel, wav)
         if (i + 1) % args.log_every == 0:
             print(

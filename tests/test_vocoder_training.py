@@ -89,3 +89,27 @@ def test_vocoder_training_improves_mel():
     assert int(state.step) == 4
     assert all(np.isfinite(v) for v in mels_l1)
     assert mels_l1[-1] < mels_l1[0]  # mel reconstruction improves
+
+
+@pytest.mark.slow
+def test_vocoder_cli_end_to_end(tmp_path, monkeypatch):
+    """spev-vocoder-train drives the full loop (wav glob -> prefetched
+    random crops -> GAN steps -> gen_* checkpoint) on the tiny config."""
+    import glob as _glob
+
+    from spev_tpu.cli.vocoder import main
+    from spev_tpu.utils.wavio import write_wav
+
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        y = 0.2 * np.sin(2 * np.pi * (150 + 40 * i) *
+                         np.arange(22050) / 22050).astype(np.float32)
+        y += 0.01 * rng.standard_normal(22050).astype(np.float32)
+        write_wav(str(tmp_path / f"w{i}.wav"), y, 22050)
+    monkeypatch.chdir(tmp_path)
+    main(["--data_dir", str(tmp_path), "--name", "smoke", "--config", "tiny",
+          "--steps", "2", "--batch_size", "2", "--segment_frames", "16",
+          "--periods", "2", "--scales", "1", "--log_every", "1",
+          "--save_every", "2"])
+    ckpts = _glob.glob(str(tmp_path / "checkpoints" / "smoke" / "gen_*.spev"))
+    assert len(ckpts) == 1, ckpts
