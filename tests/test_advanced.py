@@ -160,6 +160,7 @@ def test_nasality_head_init_and_noop():
     assert np.abs(np.asarray(out_ctl["mel_pred"]) - np.asarray(out_base["mel_pred"])).max() > 1e-6
 
 
+@pytest.mark.slow
 def test_nasality_loss_term_trains():
     """A batch with a 'nasal' key + use_nasality adds 0.1·L_nasal to the loss
     and trains the nasal head."""

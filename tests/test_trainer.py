@@ -273,6 +273,7 @@ def test_tensor_parallel_block_collectives_are_megatron():
         assert count(op) == 0, op
 
 
+@pytest.mark.slow
 def test_remat_train_step_matches_plain():
     """remat=True (both granularities) must change memory, not math: one
     train step from the same init on the same batch yields the same loss
