@@ -161,10 +161,12 @@ class TrainConfig:
     # model.use_nasality provides a nasal head
     w_nasal: float = 0.1
     # matmul precision for train/eval steps: 'high' (bf16x3 passes,
-    # ~f32-accurate — the reference-parity default) or 'default' (pure bf16
-    # matmuls with f32 master weights/accumulation elsewhere — ~2.6x faster
-    # on TPU, loss trajectory identical to ~1e-4 over tens of steps;
-    # docs/BENCH.md)
+    # ~f32-accurate — the reference-parity default), 'mixed' (forward at
+    # 'high' — loss/outputs bitwise-identical to 'high' — with single-pass
+    # bf16 backward matmuls via custom VJPs; lifts the bf16x3 MFU ceiling),
+    # or 'default' (pure bf16 matmuls with f32 master weights/accumulation
+    # elsewhere — ~2.6x faster on TPU, loss trajectory identical to ~1e-4
+    # over tens of steps; docs/BENCH.md)
     matmul_precision: str = "high"
     # two-phase schedule from the documented spev_tts surface (SURVEY §2.9):
     # the first `warmup_epochs` train only mel+duration; variance-predictor
@@ -173,6 +175,15 @@ class TrainConfig:
     # batches staged ahead of the device by a background thread (npz loads
     # + collate overlap compute — data/prefetch.py); 0 disables
     prefetch_batches: int = 2
+    # steps between host fetches of train metrics: the loop consumes step
+    # metrics in windows of this size with ONE coalesced device_get per
+    # window, because on remote/tunneled devices every separate host fetch
+    # costs a full round trip (~30 ms measured) that would dominate a
+    # 20-40 ms step.  The NaN abort budget is therefore checked at window
+    # granularity (at most `metrics_window-1` extra steps run after the
+    # budget is exhausted — the reference's per-batch abort semantics
+    # otherwise preserved).  1 = fetch every step.
+    metrics_window: int = 8
     seed: int = 0
     # mesh axes; data-parallel is the reference-parity strategy, the model
     # axis is plumbed so tensor parallelism is a config change (SURVEY §2.4)

@@ -42,17 +42,27 @@ import jax.numpy as jnp
 #               TPU (observed >9 min for the 2048-frame decoder vs 18 s at
 #               "high"); use for small-shape numerics studies only.
 #   "default" — single-pass bf16: maximum throughput serving.
+#   "mixed"   — forward matmuls/convs at "high" (bitwise-identical loss and
+#               outputs to the "high" mode), backward cotangent matmuls at
+#               single-pass bf16 via custom VJPs.  Training-only: lifts the
+#               bf16x3 intrinsic-MFU ceiling (1/3 executed:intrinsic → 3/5)
+#               while gradients keep f32 accumulation outside the MXU —
+#               the standard mixed-precision training recipe.
 _PRECISION = "high"
 
 
 def set_matmul_precision(p: str) -> None:
     global _PRECISION
-    assert p in ("highest", "high", "default")
+    assert p in ("highest", "high", "default", "mixed")
     _PRECISION = p
 
 
 def get_matmul_precision() -> str:
-    return _PRECISION
+    """Session precision as a lax-valid string for direct matmul/conv call
+    sites outside this module.  'mixed' is not a lax precision — it means
+    forward at 'high' with custom-VJP bf16 backwards, so consumers that
+    don't route through _mm/conv1d get the (conservative) forward value."""
+    return "high" if _PRECISION == "mixed" else _PRECISION
 
 
 # ---------------------------------------------------------------------------
@@ -70,6 +80,71 @@ def _xavier_uniform(key, shape, fan_in, fan_out):
     return jax.random.uniform(key, shape, minval=-bound, maxval=bound, dtype=jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# mixed fwd/bwd precision primitives
+#
+# The backward of a matmul/conv is itself a matmul/conv of the cotangent and
+# does not need the forward's 3-pass accuracy — gradients are averaged over
+# batches and consumed by Adam's scale-invariant update.  The custom VJPs
+# below run the forward at "high" and derive the backward from the same op
+# at "default" (single-pass bf16); the rematerialized default-precision
+# forward inside jax.vjp is dead code (linear ops need only inputs for
+# their cotangents) and XLA eliminates it.
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+def _conv_raw(x, w_kio, pad: tuple, precision: str):
+    return jax.lax.conv_general_dilated(
+        x, w_kio, window_strides=(1,), padding=[pad],
+        dimension_numbers=("NHC", "HIO", "NHC"), precision=precision,
+    )
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_mixed(x, w_kio, pad: tuple):
+    return _conv_raw(x, w_kio, pad, "high")
+
+
+def _conv_mixed_fwd(x, w_kio, pad: tuple):
+    return _conv_raw(x, w_kio, pad, "high"), (x, w_kio)
+
+
+def _conv_mixed_bwd(pad: tuple, res, g):
+    x, w_kio = res
+    _, vjp = jax.vjp(lambda a, b: _conv_raw(a, b, pad, "default"), x, w_kio)
+    return vjp(g)
+
+
+_conv_mixed.defvjp(_conv_mixed_fwd, _conv_mixed_bwd)
+
+
+@jax.custom_vjp
+def _dot_mixed(x, w):
+    return jnp.matmul(x, w, precision="high")
+
+
+def _dot_mixed_fwd(x, w):
+    return jnp.matmul(x, w, precision="high"), (x, w)
+
+
+def _dot_mixed_bwd(res, g):
+    x, w = res
+    _, vjp = jax.vjp(lambda a, b: jnp.matmul(a, b, precision="default"), x, w)
+    return vjp(g)
+
+
+_dot_mixed.defvjp(_dot_mixed_fwd, _dot_mixed_bwd)
+
+
+def _mm(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Matmul at the session precision ('mixed' → high fwd / bf16 bwd)."""
+    if _PRECISION == "mixed":
+        return _dot_mixed(x, w)
+    return jnp.matmul(x, w, precision=_PRECISION)
+
+
 def init_linear(key, in_dim: int, out_dim: int) -> dict:
     """torch nn.Linear init: weight (out, in) kaiming-uniform(a=√5) ≡
     U(±1/√fan_in); bias U(±1/√fan_in)."""
@@ -81,9 +156,7 @@ def init_linear(key, in_dim: int, out_dim: int) -> dict:
 
 
 def linear(params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    return (
-        jnp.matmul(x, params["weight"].T, precision=_PRECISION) + params["bias"]
-    )
+    return _mm(x, params["weight"].T) + params["bias"]
 
 
 def init_conv1d(key, in_ch: int, out_ch: int, kernel: int) -> dict:
@@ -103,19 +176,16 @@ def conv1d(params: dict, x: jnp.ndarray, padding: str | int = "same") -> jnp.nda
     w = params["weight"]  # (O, I, K)
     k = w.shape[-1]
     if padding == "same":
-        pad = [(k // 2, k // 2)]
+        pad = (k // 2, k // 2)
     elif padding == "valid":
-        pad = [(0, 0)]
+        pad = (0, 0)
     else:
-        pad = [(int(padding), int(padding))]
-    out = jax.lax.conv_general_dilated(
-        x,
-        jnp.transpose(w, (2, 1, 0)),  # (K, I, O)
-        window_strides=(1,),
-        padding=pad,
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        precision=_PRECISION,
-    )
+        pad = (int(padding), int(padding))
+    w_kio = jnp.transpose(w, (2, 1, 0))  # (K, I, O)
+    if _PRECISION == "mixed":
+        out = _conv_mixed(x, w_kio, pad)
+    else:
+        out = _conv_raw(x, w_kio, pad, _PRECISION)
     return out + params["bias"]
 
 
@@ -189,15 +259,15 @@ def multi_head_attention(
     d = H // n_heads
     w = params["in_proj_weight"]  # (3, H, H): [q, k, v], rows = out features
     b = params["in_proj_bias"]  # (3, H)
-    q = jnp.matmul(x, w[0].T, precision=_PRECISION) + b[0]
-    k = jnp.matmul(x, w[1].T, precision=_PRECISION) + b[1]
-    v = jnp.matmul(x, w[2].T, precision=_PRECISION) + b[2]
+    q = _mm(x, w[0].T) + b[0]
+    k = _mm(x, w[1].T) + b[1]
+    v = _mm(x, w[2].T) + b[2]
 
     def heads(t):  # (B, T, H) -> (B, nh, T, d)
         return t.reshape(B, T, n_heads, d).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
-    scores = jnp.matmul(q, k.transpose(0, 1, 3, 2), precision=_PRECISION) / np.sqrt(d)
+    scores = _mm(q, k.transpose(0, 1, 3, 2)) / np.sqrt(d)
 
     if key_padding_mask is not None:
         neg = jnp.finfo(scores.dtype).min
@@ -209,7 +279,7 @@ def multi_head_attention(
         # the reference zeroes; emit zeros directly.
         attn = jnp.where(key_padding_mask[:, None, :, None], 0.0, attn)
 
-    out = jnp.matmul(attn, v, precision=_PRECISION)  # (B, nh, T, d)
+    out = _mm(attn, v)  # (B, nh, T, d)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, H)
     return linear(params["out_proj"], out)
 

@@ -340,17 +340,21 @@ class Trainer:
         vw = 0.0 if self.epoch < self.cfg.train.warmup_epochs else 1.0
         total, n = 0.0, 0
         last_metrics = {}
-        pending = None  # device metrics of the previous step, fetched lazily
-        # stage batches ahead of the device (npz loads + collate overlap
-        # compute; TrainConfig.prefetch_batches=0 disables)
-        batches = prefetch(batches, depth=self.cfg.train.prefetch_batches)
+        # stage batches ahead of the device: npz loads + collate AND the
+        # host→device transfer overlap compute (device_put inside the
+        # prefetch thread starts the copy early, and the jitted step then
+        # sees already-placed committed arrays — no per-argument transfer at
+        # dispatch time).  TrainConfig.prefetch_batches=0 disables staging.
+        sh = batch_sharding(self.mesh)
+
+        def _placed(bs):
+            for b in bs:
+                yield jax.tree.map(lambda x: jax.device_put(x, sh), b)
+
+        batches = prefetch(_placed(batches), depth=self.cfg.train.prefetch_batches)
 
         def consume(metrics):
-            # Host-fetch a step's metrics.  Called one step LATE so the
-            # float() sync overlaps the NEXT step's device execution (async
-            # dispatch pipelining); the NaN budget therefore trips at most
-            # one step after the offending batch, which preserves the
-            # reference's abort-after-budget contract (``:569-571``).
+            # `metrics` is already on host (fetched by flush()).
             nonlocal total, n, last_metrics
             if float(metrics["skipped"]) > 0.5:
                 self.nan_count += 1
@@ -363,15 +367,44 @@ class Trainer:
             n += 1
             last_metrics = metrics
 
+        # Per-step metric fetches serialize the host on the device's
+        # round-trip latency (~30 ms on a tunneled chip — more than a bf16
+        # step).  The loop instead keeps a WINDOW of per-step device metric
+        # dicts and host-fetches the whole window with one coalesced
+        # device_get; the NaN budget trips at window granularity
+        # (TrainConfig.metrics_window, default 8).
+        window = max(1, int(getattr(self.cfg.train, "metrics_window", 8)))
+        pending: list = []
+
+        def flush():
+            nonlocal pending
+            if not pending:
+                return
+            fetched = jax.device_get(pending)  # one coalesced transfer
+            pending = []
+            for m in fetched:
+                consume(m)
+
+        # dropout keys pre-split in chunks: ONE device dispatch + ONE host
+        # fetch per 64 steps instead of a jax.random.split round trip per
+        # step; keys feed the jitted step as host uint32 rows (replicated
+        # placement is handled by the step's in_shardings)
+        key_chunk: list = []
+
+        def next_key():
+            nonlocal key_chunk
+            if not key_chunk:
+                self.rng, sub = jax.random.split(self.rng)
+                key_chunk = list(np.asarray(jax.random.split(sub, 64)))
+            return key_chunk.pop()
+
         for batch in batches:
             step = self._get_step(vw, batch)
-            self.rng, drop = jax.random.split(self.rng)
-            self.state, metrics = step(self.state, batch, drop)
-            if pending is not None:
-                consume(pending)
-            pending = metrics
-        if pending is not None:
-            consume(pending)
+            self.state, metrics = step(self.state, batch, next_key())
+            pending.append(metrics)
+            if len(pending) >= window:
+                flush()
+        flush()
         self.epoch += 1
         out = {k: float(v) for k, v in last_metrics.items()}
         out["train_loss"] = total / max(n, 1)
@@ -399,12 +432,17 @@ class Trainer:
         self.last_quality = {}
         for i, batch in enumerate(batches):
             m = self._get_eval_step(batch)(self.state.params, batch)
-            v = float(m["val_mel"])
+            # one coalesced fetch of the two scalars (each separate float()
+            # costs a full host RTT on tunneled devices); the large mel
+            # arrays transfer only for the first batch's plot/quality pass
+            scal = jax.device_get({"val_mel": m["val_mel"], "val_aux": m["val_aux"]})
+            v = float(scal["val_mel"])
             if math.isfinite(v):
                 tot += v
-                aux += float(m["val_aux"])
+                aux += float(scal["val_aux"])
                 n += 1
             if i == 0:
+                m = jax.device_get(m)  # one transfer for plot + quality arrays
                 self.last_quality = self._first_batch_quality(m, batch)
                 if save_plot_epoch is not None:
                     from spev_tpu.diag.plots import save_comparison_plot

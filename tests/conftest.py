@@ -32,6 +32,16 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _reset_matmul_precision():
+    """set_matmul_precision is module-global session state; tests that build
+    steps at 'mixed'/'default' must not leak that into later tests."""
+    yield
+    from spev_tpu.models import modules
+
+    modules.set_matmul_precision("high")
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)

@@ -299,3 +299,39 @@ def test_remat_train_step_matches_plain():
         assert outs[0][0] == pytest.approx(loss_r, rel=1e-6)
         for a, b in zip(jax.tree.leaves(outs[0][1]), jax.tree.leaves(params_r)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
+def test_mixed_precision_forward_matches_high_and_grads_close():
+    """'mixed' matmul precision must keep the forward (loss) bitwise equal
+    to 'high' — the custom-VJP wrappers change only cotangent matmuls — and
+    its one-step parameter update must stay close to the 'high' step (on
+    CPU all precision strings lower identically, so this also pins that the
+    custom VJPs compute the *correct* gradients, not just fast ones)."""
+    import dataclasses
+
+    mesh = make_mesh((1, 1), ("data", "model"))
+    batch = shard_batch(mesh, synth_batch(np.random.default_rng(11)))
+    outs = {}
+    for prec in ("high", "mixed"):
+        cfg = tiny_cfg(matmul_precision=prec)
+        state = init_train_state(jax.random.PRNGKey(5), cfg)
+        step = make_train_step(cfg, mesh, state.params, use_dropout=False)
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        outs[prec] = (float(metrics["loss"]), state.params)
+    assert outs["high"][0] == pytest.approx(outs["mixed"][0], rel=1e-6)
+    for a, b in zip(jax.tree.leaves(outs["high"][1]), jax.tree.leaves(outs["mixed"][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_mixed_precision_dropout_and_vmap_paths():
+    """The custom-VJP primitives must compose with vmap (fused predictors)
+    and dropout rngs: a dropout-on mixed step runs and applies an update."""
+    cfg = tiny_cfg(matmul_precision="mixed")
+    mesh = make_mesh((1, 1), ("data", "model"))
+    batch = shard_batch(mesh, synth_batch(np.random.default_rng(3)))
+    state = init_train_state(jax.random.PRNGKey(2), cfg)
+    step = make_train_step(cfg, mesh, state.params, use_dropout=True)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(9))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["skipped"]) == 0.0
+    assert int(new_state.step) == 1

@@ -49,6 +49,9 @@ def run_variant(name, B=16, precision="high", remat=False, remat_policy="full",
                 n_iter=30, via_trainer=False):
     import jax
     import jax.numpy as jnp
+    from spev_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from spev_tpu.config import ModelConfig, SpevConfig, TrainConfig
     from spev_tpu.parallel.mesh import make_mesh, shard_batch
     from spev_tpu.train.trainer import Trainer, init_train_state, make_train_step
@@ -123,6 +126,11 @@ def main():
         ("parity_b48_remat_dots", dict(B=48, precision="high", remat=True, remat_policy="dots")),
         ("parity_b48_remat_full", dict(B=48, precision="high", remat=True, remat_policy="full")),
         ("parity_b16_trainer_loop", dict(B=16, precision="high", via_trainer=True)),
+        # 'mixed': forward at 'high' (loss bitwise-equal to parity), backward
+        # cotangent matmuls single-pass bf16 — lifts the bf16x3 MFU ceiling
+        ("mixed_b16", dict(B=16, precision="mixed")),
+        ("mixed_b48", dict(B=48, precision="mixed")),
+        ("mixed_b16_trainer_loop", dict(B=16, precision="mixed", via_trainer=True)),
     ]
     for name, kw in variants:
         try:
