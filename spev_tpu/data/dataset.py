@@ -211,14 +211,20 @@ class SpevDataset:
         if os.path.exists(meta_path) and not force_rebuild:
             with open(meta_path) as f:
                 meta = json.load(f)
-            self.files = meta["files"]
-            self.stats = meta["stats"]
-            self.vocab = meta["vocab"]
-            self.speakers = meta.get("speakers", [])
-            # per-utterance (n_phonemes, n_frames); caches built before the
-            # field existed return None and callers fall back to loading
-            self.lengths = meta.get("lengths")
-            return
+            # an empty file list is never a valid cache of a real corpus —
+            # it is the footprint of a build that crashed mid-extraction
+            # (e.g. device died) in an older version; rebuild instead of
+            # silently training on nothing
+            if meta["files"]:
+                self.files = meta["files"]
+                self.stats = meta["stats"]
+                self.vocab = meta["vocab"]
+                self.speakers = meta.get("speakers", [])
+                # per-utterance (n_phonemes, n_frames); caches built before
+                # the field existed return None and callers fall back to
+                # loading
+                self.lengths = meta.get("lengths")
+                return
 
         fx = FeatureExtractor(audio)
         g2p = G2P(g2p_backend)
@@ -260,10 +266,18 @@ class SpevDataset:
         self.lengths = []
         entries = []
         tot_frames = tot_phonemes = 0
+        n_errors, first_error = 0, None
         for i, wav_path in enumerate(wavs):
             try:
                 entry = self._process_file(i, wav_path, textgrid_dir, fx, g2p, min_samples)
-            except Exception:
+            except Exception as e:
+                # one bad file must not kill a corpus build, but errors must
+                # not vanish either: count them, keep the first, and fail
+                # loudly below if EVERY file errored (systemic cause, e.g.
+                # the device died mid-extraction)
+                n_errors += 1
+                if first_error is None:
+                    first_error = (wav_path, e)
                 continue
             if entry is None:
                 continue
@@ -277,6 +291,17 @@ class SpevDataset:
                 spk = os.path.basename(wav_path).split("_")[0]
                 speaker_set.add(spk)
                 entries.append((path, spk))
+
+        if n_errors and first_error is not None:
+            if not self.files:
+                raise RuntimeError(
+                    f"all {n_errors} wav files under {data_dir} failed feature "
+                    f"extraction; first error ({first_error[0]}): {first_error[1]!r}"
+                ) from first_error[1]
+            print(
+                f"Warning: skipped {n_errors}/{len(wavs)} files on errors; "
+                f"first ({os.path.basename(first_error[0])}): {first_error[1]!r}"
+            )
 
         # serving-side frame-bucket calibration: the corpus' mean decoded
         # frames per phoneme rides in stats → checkpoint → Synthesizer,
@@ -296,9 +321,13 @@ class SpevDataset:
                 np.savez(path, **data)
         # store basenames so the cache is relocatable / cwd-independent
         self.files = [os.path.basename(p) for p in self.files]
-        with open(meta_path, "w") as f:
+        # atomic write: a crash mid-dump must not leave a truncated (or
+        # empty) metadata.json that a later run would trust
+        tmp_path = meta_path + ".tmp"
+        with open(tmp_path, "w") as f:
             json.dump({"files": self.files, "stats": self.stats, "vocab": self.vocab,
                        "speakers": self.speakers, "lengths": self.lengths}, f)
+        os.replace(tmp_path, meta_path)
 
     def _load(self, path: str) -> np.ndarray:
         # native C++ decoder when built (falls back to the Python reader)

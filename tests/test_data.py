@@ -86,6 +86,39 @@ def test_dataset_cache_reload(corpus_ds, tmp_path):
     assert ds2.vocab == corpus_ds.vocab
 
 
+def test_empty_cache_is_rebuilt_not_trusted(tmp_path):
+    """A metadata.json with files=[] is the footprint of a build that crashed
+    mid-extraction (e.g. the device died); loading it must rebuild from the
+    corpus, not silently return a 0-utterance dataset."""
+    import json
+
+    root = str(tmp_path / "corpus")
+    cache = str(tmp_path / "cache")
+    _make_corpus(root, n=2)
+    os.makedirs(cache)
+    with open(os.path.join(cache, "metadata.json"), "w") as f:
+        json.dump({"files": [], "stats": {}, "vocab": ["<PAD>"],
+                   "speakers": [], "lengths": []}, f)
+    ds = SpevDataset(root, cache_dir=cache, g2p_backend="rules", stats_sample=2)
+    assert len(ds) == 2
+
+
+def test_all_files_failing_raises(tmp_path, monkeypatch):
+    """If EVERY file errors during feature extraction the cause is systemic
+    (dead device, wrong audio config) — the build must raise with the first
+    error, never write an empty cache."""
+    root = str(tmp_path / "corpus")
+    _make_corpus(root, n=2)
+    monkeypatch.setattr(
+        SpevDataset, "_process_file",
+        lambda self, *a, **k: (_ for _ in ()).throw(RuntimeError("device died")),
+    )
+    with pytest.raises(RuntimeError, match="failed feature extraction"):
+        SpevDataset(root, cache_dir=str(tmp_path / "cache"),
+                    g2p_backend="rules", stats_sample=2)
+    assert not os.path.exists(str(tmp_path / "cache" / "metadata.json"))
+
+
 def test_bucket_batcher(corpus_ds):
     vocab = Vocab(corpus_ds.vocab)
     b = BucketBatcher(
