@@ -160,12 +160,43 @@ def _peak_flops() -> float | None:
     return None
 
 
+_FLOPS_CACHE_PATH = os.path.expanduser("~/.cache/spev_tpu/bench_flops.json")
+
+
 def _compiled_flops(jitted, *args) -> float | None:
+    """FLOPs of the compiled executable, disk-cached by a hash of the lowered
+    HLO: FLOP counts are a pure function of the graph, and the explicit
+    ``lower().compile()`` here is the bench's single biggest wall cost when
+    the remote compile service is slow — a repeat run with unchanged code
+    must not pay it again (round 3: a slow-compile run burned 380 s in the
+    serving stage and the deadline watchdog dropped every later stage)."""
+    import hashlib
+
     try:
-        ca = jitted.lower(*args).compile().cost_analysis()
+        lowered = jitted.lower(*args)
+        key = hashlib.sha256(
+            (jax.devices()[0].device_kind + lowered.as_text()).encode()
+        ).hexdigest()
+        cache = {}
+        try:
+            with open(_FLOPS_CACHE_PATH) as f:
+                cache = json.load(f)
+        except Exception:
+            pass
+        if key in cache:
+            return cache[key]
+        ca = lowered.compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0)) or None
+        flops = float(ca.get("flops", 0.0)) or None
+        if flops:
+            cache[key] = flops
+            os.makedirs(os.path.dirname(_FLOPS_CACHE_PATH), exist_ok=True)
+            tmp = _FLOPS_CACHE_PATH + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(cache, f)
+            os.replace(tmp, _FLOPS_CACHE_PATH)
+        return flops
     except Exception:
         return None
 
@@ -461,6 +492,20 @@ def main():
     def left() -> float:
         return deadline - time.monotonic()
 
+    stage_walls: dict = {}
+    RESULT["stage_walls_sec"] = stage_walls
+    _last_mark = [t0]
+
+    def mark(stage: str) -> None:
+        now = time.monotonic()
+        stage_walls[stage] = round(now - _last_mark[0], 1)
+        _last_mark[0] = now
+        sys.stderr.write(f"bench: stage {stage} took {stage_walls[stage]:.1f}s "
+                         f"({left():.0f}s left)\n")
+        sys.stderr.flush()
+
+    mark("probe")
+
     # 2. Stages, most important first; each records into RESULT immediately,
     #    so a later death still reports everything that finished.
     serving_rtf, serving_wall, cfg, serving_flops, real_rtf, model_flops = measure(
@@ -486,6 +531,7 @@ def main():
         serving_hw_flop_util=round(serving_hw_util, 4) if serving_hw_util else None,
         device=str(jax.devices()[0]),
     )
+    mark("serving")
 
     train = _bounded(
         lambda: measure_training(B=16, matmul_precision="high"),
@@ -499,11 +545,29 @@ def main():
             train_vs_baseline_3090_5h=round(5.0 / train_hours, 2),
             train_mfu=round(train_mfu, 4) if train_mfu else None,
         )
+    mark("train_high")
 
     parity = _bounded(lambda: measure(bf16_vocoder=False, B=8),
                       int(max(20, min(120, left() - 90))))
     if parity:
         RESULT["parity_grade_rtf"] = round(parity[0], 2)
+    mark("parity")
+
+    if left() > 120:
+        # 'mixed': forward at 'high' (loss bitwise-equal to the parity
+        # mode), backward cotangent matmuls single-pass bf16 — the round-3
+        # MFU lever, so it outranks the pure-bf16 stage for bench budget
+        train_mixed = _bounded(
+            lambda: measure_training(B=16, matmul_precision="mixed"),
+            int(min(150, left() - 60)),
+        )
+        if train_mixed:
+            RESULT.update(
+                train_steps_per_sec_mixed=round(train_mixed[0], 3),
+                train_hours_per_100_lj_epochs_mixed=round(train_mixed[1], 2),
+                train_mfu_mixed=round(train_mixed[2], 4) if train_mixed[2] else None,
+            )
+        mark("train_mixed")
 
     if left() > 150:
         train_bf16 = _bounded(
@@ -515,6 +579,7 @@ def main():
                 train_steps_per_sec_bf16=round(train_bf16[0], 3),
                 train_hours_per_100_lj_epochs_bf16=round(train_bf16[1], 2),
             )
+        mark("train_bf16")
 
     if left() > 80:
         lat = _bounded(measure_latency_b1, int(min(90, left() - 30)))
@@ -523,11 +588,13 @@ def main():
                 latency_b1_ms_per_sentence=round(lat[0], 2),
                 host_rtt_ms=round(lat[1], 2),
             )
+        mark("latency_b1")
 
     if left() > 150:
         adaptive_rtf = _bounded(measure_adaptive_serving, int(min(180, left() - 30)))
         if adaptive_rtf:
             RESULT["adaptive_serving_rtf"] = round(adaptive_rtf, 2)
+        mark("adaptive_serving")
 
     _emit()
 
