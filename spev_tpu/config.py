@@ -168,6 +168,12 @@ class TrainConfig:
     # elsewhere — ~2.6x faster on TPU, loss trajectory identical to ~1e-4
     # over tens of steps; docs/BENCH.md)
     matmul_precision: str = "high"
+    # PRNG implementation for dropout masks: 'auto' resolves to 'rbg' (the
+    # TPU's hardware RngBitGenerator — measured 2.1x cheaper than threefry
+    # for the step's 18 mask sites, docs/BENCH.md) on TPU and 'threefry'
+    # elsewhere, so CPU-calibrated trajectories (tests/test_convergence.py)
+    # are unaffected.  Dropout only — init/split stay threefry everywhere.
+    dropout_rng_impl: str = "auto"
     # two-phase schedule from the documented spev_tts surface (SURVEY §2.9):
     # the first `warmup_epochs` train only mel+duration; variance-predictor
     # losses are enabled afterwards.  0 = single-phase (spev_real_metrics).

@@ -335,3 +335,31 @@ def test_mixed_precision_dropout_and_vmap_paths():
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["skipped"]) == 0.0
     assert int(new_state.step) == 1
+
+
+def test_dropout_rng_impl_rbg_runs_and_auto_is_threefry_on_cpu():
+    """TrainConfig.dropout_rng_impl='rbg' (the TPU-default fast path for
+    dropout mask bits) must run through both the direct and grad-accum
+    step paths; 'auto' must resolve to threefry off-TPU so CPU-calibrated
+    trajectories (docs/QUALITY.md) are unaffected."""
+    from spev_tpu.train.trainer import _resolve_dropout_impl
+
+    mesh = make_mesh((1, 1), ("data", "model"))
+    batch = shard_batch(mesh, synth_batch(np.random.default_rng(5)))
+    key = jax.random.PRNGKey(7)
+
+    losses = {}
+    for impl, accum in [("threefry", 1), ("auto", 1), ("rbg", 1), ("rbg", 2)]:
+        cfg = tiny_cfg(dropout_rng_impl=impl, grad_accum=accum)
+        state = init_train_state(jax.random.PRNGKey(2), cfg)
+        step = make_train_step(cfg, mesh, state.params, use_dropout=True)
+        _, metrics = step(state, batch, key)
+        loss = float(metrics["loss"])
+        assert np.isfinite(loss), (impl, accum)
+        losses[(impl, accum)] = loss
+
+    assert _resolve_dropout_impl(tiny_cfg(dropout_rng_impl="auto")) == "threefry"
+    # same masks -> identical loss for auto vs explicit threefry on CPU
+    assert losses[("auto", 1)] == losses[("threefry", 1)]
+    # rbg draws a different mask stream but stays in the same ballpark
+    assert abs(losses[("rbg", 1)] - losses[("threefry", 1)]) < 0.5
