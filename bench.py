@@ -63,15 +63,31 @@ RESULT: dict = {
     "vs_baseline": None,
 }
 _EMITTED = threading.Event()
+_EMIT_LOCK = threading.Lock()
 
 
 def _emit(**extra) -> None:
-    """Print the single JSON result line exactly once (thread-safe)."""
-    if _EMITTED.is_set():
-        return
-    _EMITTED.set()
-    RESULT.update(extra)
-    print(json.dumps(RESULT), flush=True)
+    """Print the single JSON result line exactly once (thread-safe).
+
+    The lock closes two races between the main thread and the deadline
+    watchdog: a check-then-set on _EMITTED (two JSON lines on stdout would
+    break the driver contract) and json.dumps iterating RESULT while the
+    other thread mutates it (RuntimeError mid-dump).  mark()/RESULT.update
+    also run under the lock for the same reason."""
+    with _EMIT_LOCK:
+        if _EMITTED.is_set():
+            return
+        _EMITTED.set()
+        RESULT.update(extra)
+        line = json.dumps(RESULT)
+    print(line, flush=True)
+
+
+def _record(**kv) -> None:
+    """Thread-safe RESULT update (all main-thread writes go through here so
+    the watchdog's snapshot under _EMIT_LOCK is always consistent)."""
+    with _EMIT_LOCK:
+        RESULT.update({k: v for k, v in kv.items()})
 
 
 def _total_budget() -> float:
@@ -486,19 +502,21 @@ def main():
         _emit(error="tpu_unavailable", detail=probe["detail"],
               probe_attempts=probe["probe_attempts"], device=None)
         return
-    RESULT["device_kind"] = probe["device_kind"]
-    RESULT["probe_attempts"] = probe["probe_attempts"]
+    _record(device_kind=probe["device_kind"],
+            probe_attempts=probe["probe_attempts"])
 
     def left() -> float:
         return deadline - time.monotonic()
 
     stage_walls: dict = {}
-    RESULT["stage_walls_sec"] = stage_walls
+    with _EMIT_LOCK:
+        RESULT["stage_walls_sec"] = stage_walls
     _last_mark = [t0]
 
     def mark(stage: str) -> None:
         now = time.monotonic()
-        stage_walls[stage] = round(now - _last_mark[0], 1)
+        with _EMIT_LOCK:
+            stage_walls[stage] = round(now - _last_mark[0], 1)
         _last_mark[0] = now
         sys.stderr.write(f"bench: stage {stage} took {stage_walls[stage]:.1f}s "
                          f"({left():.0f}s left)\n")
@@ -519,7 +537,7 @@ def main():
     serving_mfu = (
         model_flops / serving_wall / peak if (model_flops and peak) else None
     )
-    RESULT.update(
+    _record(
         value=round(serving_rtf, 2),
         vs_baseline=round(serving_rtf / 20.0, 2),
         realistic_length_rtf=round(real_rtf, 2) if real_rtf else None,
@@ -539,7 +557,7 @@ def main():
     )
     if train:
         train_sps, train_hours, train_mfu = train
-        RESULT.update(
+        _record(
             train_steps_per_sec=round(train_sps, 3),
             train_hours_per_100_lj_epochs=round(train_hours, 2),
             train_vs_baseline_3090_5h=round(5.0 / train_hours, 2),
@@ -550,7 +568,7 @@ def main():
     parity = _bounded(lambda: measure(bf16_vocoder=False, B=8),
                       int(max(20, min(120, left() - 90))))
     if parity:
-        RESULT["parity_grade_rtf"] = round(parity[0], 2)
+        _record(parity_grade_rtf=round(parity[0], 2))
     mark("parity")
 
     if left() > 120:
@@ -562,7 +580,7 @@ def main():
             int(min(150, left() - 60)),
         )
         if train_mixed:
-            RESULT.update(
+            _record(
                 train_steps_per_sec_mixed=round(train_mixed[0], 3),
                 train_hours_per_100_lj_epochs_mixed=round(train_mixed[1], 2),
                 train_mfu_mixed=round(train_mixed[2], 4) if train_mixed[2] else None,
@@ -575,7 +593,7 @@ def main():
             int(min(150, left() - 60)),
         )
         if train_bf16:
-            RESULT.update(
+            _record(
                 train_steps_per_sec_bf16=round(train_bf16[0], 3),
                 train_hours_per_100_lj_epochs_bf16=round(train_bf16[1], 2),
             )
@@ -584,7 +602,7 @@ def main():
     if left() > 80:
         lat = _bounded(measure_latency_b1, int(min(90, left() - 30)))
         if lat:
-            RESULT.update(
+            _record(
                 latency_b1_ms_per_sentence=round(lat[0], 2),
                 host_rtt_ms=round(lat[1], 2),
             )
@@ -593,7 +611,7 @@ def main():
     if left() > 150:
         adaptive_rtf = _bounded(measure_adaptive_serving, int(min(180, left() - 30)))
         if adaptive_rtf:
-            RESULT["adaptive_serving_rtf"] = round(adaptive_rtf, 2)
+            _record(adaptive_serving_rtf=round(adaptive_rtf, 2))
         mark("adaptive_serving")
 
     _emit()

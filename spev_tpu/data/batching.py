@@ -17,6 +17,7 @@ from typing import Dict, Iterator, List, Optional, Sequence
 import numpy as np
 
 from spev_tpu.text.vocab import Vocab, pick_bucket
+from spev_tpu.errors import UserError
 
 # shared loader pool for per-batch utterance reads: uncompressed npz loads
 # are IO + GIL-releasing memcpy, so a few threads cut batch staging time
@@ -72,7 +73,7 @@ def collate(
         n = len(phs)
         t = int(u["mel"].shape[0])
         if n > max_phonemes or t > max_frames:
-            raise ValueError(f"utterance exceeds bucket: {n} ph / {t} frames")
+            raise UserError(f"utterance exceeds bucket: {n} ph / {t} frames")
         out["ids"][b, :n] = vocab.encode(phs, fallback=0)
         out["lens"][b] = n
         durs = np.asarray(u["durs"], np.float32)

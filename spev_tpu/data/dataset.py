@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from spev_tpu.config import AudioConfig
 from spev_tpu.ops.features import pyin_f0, rms_energy, spectral_centroid, yin_f0
 from spev_tpu.ops.stft import log_mel_spectrogram
+from spev_tpu.errors import UserError
 from spev_tpu.text.g2p import G2P
 from spev_tpu.text.textgrid import intervals_to_durations, phone_intervals
 from spev_tpu.text.vocab import SPECIALS
@@ -301,6 +302,16 @@ class SpevDataset:
             print(
                 f"Warning: skipped {n_errors}/{len(wavs)} files on errors; "
                 f"first ({os.path.basename(first_error[0])}): {first_error[1]!r}"
+            )
+        if not self.files:
+            # zero usable utterances with zero errors (e.g. every wav under
+            # min_samples) must fail HERE: training on nothing is useless,
+            # and writing files=[] metadata would trip the crash-footprint
+            # check above and silently re-extract the corpus on every
+            # construction
+            raise UserError(
+                f"no usable utterances under {data_dir}: all {len(wavs)} wavs "
+                f"were skipped (shorter than {min_samples} samples or empty)"
             )
 
         # serving-side frame-bucket calibration: the corpus' mean decoded

@@ -99,15 +99,23 @@ class CoalescingBatcher:
         # device batch sizes to log2(max_batch)+1 XLA compilations instead
         # of one per concurrency level.  The pad template is the SHORTEST
         # request (cheapest filler rows); if even that is over the largest
-        # phoneme bucket (≈ chars > bucket for IPA-char tokens) padding
-        # would multiply the serial span-chunking path, so skip it.
+        # phoneme bucket padding would multiply the serial span-chunking
+        # path, so skip it.  The over-bucket test must count PHONEMES, not
+        # characters: cmudict/rules tokens run ~3 chars each (a 300-char
+        # in-bucket text would wrongly skip padding and compile a fresh
+        # odd-sized graph), and digit expansion goes the other way.  One
+        # host-side G2P call on the shortest text is microseconds.
         n = len(batch)
         tmpl = min(range(n), key=lambda j: len(batch[j].text))
         padded = 1
         while padded < n:
             padded *= 2
         padded = min(padded, self.max_batch)
-        if len(batch[tmpl].text) > self.synth.phoneme_buckets[-1]:
+        try:
+            tmpl_phonemes = len(self.synth.g2p.phonemes(batch[tmpl].text))
+        except Exception:
+            tmpl_phonemes = len(batch[tmpl].text)  # G2P failure: retry path
+        if tmpl_phonemes > self.synth.phoneme_buckets[-1]:
             padded = n
         texts = [p.text for p in batch] + [batch[tmpl].text] * (padded - n)
         merged: dict = {}

@@ -35,6 +35,7 @@ from spev_tpu.models.hifigan import apply_hifigan
 from spev_tpu.infer.vocoder import Vocoder
 from spev_tpu.ops.griffin_lim import mel_to_audio
 from spev_tpu.text.g2p import G2P
+from spev_tpu.errors import UserError
 from spev_tpu.text.vocab import Vocab, pad_to_bucket, pick_bucket
 
 DEFAULT_PHONEME_BUCKETS = (64, 128, 256)
@@ -49,7 +50,7 @@ def _control(value, B: int):
     if arr.ndim == 0:
         return jnp.float32(arr)
     if arr.shape != (B,):
-        raise ValueError(
+        raise UserError(
             f"per-request control must be a scalar or a length-{B} vector; "
             f"got shape {arr.shape}"
         )
@@ -622,7 +623,7 @@ class Synthesizer:
             extra = set(controls) - {"duration_scale", "pitch_scale",
                                      "energy_scale"}
             if extra:
-                raise ValueError(
+                raise UserError(
                     f"controls {sorted(extra)} are not supported for texts "
                     f"longer than the {p_cap}-phoneme bucket; synthesize "
                     "those via synthesize_ids directly"
@@ -672,6 +673,7 @@ class Synthesizer:
                     )
                 else:
                     M_group = M
+                escalated = False
                 while True:
                     wav, mel, mel_len = self.synthesize_batch(
                         ids_b, lens, frame_bucket=M_group, **g_controls
@@ -684,17 +686,24 @@ class Synthesizer:
                             or M_group >= self.frame_buckets[-1]
                             or (mel_len < M_group).all()):
                         break
+                    escalated = True
                     M_group = self.frame_buckets[self.frame_buckets.index(M_group) + 1]
                 # calibrate the frames/phoneme estimate from unsaturated rows
-                # (saturated rows are truncated, so their ratio understates):
-                # track the batch max ratio with 10% headroom so the next
-                # estimate covers the worst row without escalating
+                # (saturated rows are truncated, so their ratio understates).
+                # The update is ONE-SIDED on escalation: jump straight to the
+                # observed worst-row ratio (+10% headroom) so a mismatched
+                # checkpoint pays the saturate→escalate double synthesis at
+                # most once, not for several EMA-crawl batches; downward
+                # drift (over-allocation) relaxes via the EMA.
                 ok = mel_len < M_group
                 if frame_bucket is None and ok.any():
                     d_scale = float(np.max(g_controls.get("duration_scale", 1.0)))
                     obs = float(np.max(mel_len[ok] / np.maximum(lens[ok], 1)))
                     obs /= max(d_scale, 0.1)
-                    self._fpp = max(0.7 * self._fpp + 0.3 * obs * 1.1, 1.0)
+                    if escalated:
+                        self._fpp = max(self._fpp, obs * 1.1, 1.0)
+                    else:
+                        self._fpp = max(0.7 * self._fpp + 0.3 * obs * 1.1, 1.0)
                 for row, i in enumerate(group):
                     L = int(mel_len[row])
                     results[i] = (wav[row, : L * hop], mel[row, :L])

@@ -24,17 +24,30 @@ from __future__ import annotations
 
 import os
 import re
+import threading
 from typing import List, Optional
 
 from spev_tpu.text.vocab import SIL
 
 try:  # optional dependency (present in the reference's env, absent here)
-    from phonemizer import phonemize as _espeak_phonemize  # type: ignore
+    from phonemizer import phonemize as _phonemize_unlocked  # type: ignore
 
     _HAS_ESPEAK = True
 except Exception:  # pragma: no cover
-    _espeak_phonemize = None
+    _phonemize_unlocked = None
     _HAS_ESPEAK = False
+
+# libespeak-ng keeps global state and is NOT thread-safe; concurrent server
+# requests (cli/serve.py handles requests on independent threads since the
+# handler compute lock was removed) must serialize through this process-wide
+# lock or risk garbled IPA / crashes.  Held only around the C call — the
+# device compute stays concurrent.
+_ESPEAK_LOCK = threading.Lock()
+
+
+def _espeak_phonemize(*args, **kwargs):
+    with _ESPEAK_LOCK:
+        return _phonemize_unlocked(*args, **kwargs)
 
 
 # ---------------------------------------------------------------------------

@@ -15,6 +15,8 @@ from typing import Iterable, List, Sequence
 
 import numpy as np
 
+from spev_tpu.errors import UserError
+
 PAD = "<PAD>"
 UNK = "<UNK>"
 SIL = "<SIL>"
@@ -59,7 +61,7 @@ class Vocab:
 def pad_to_bucket(ids: np.ndarray, bucket: int, pad_id: int = 0) -> np.ndarray:
     """Right-pad a 1-D id array to the static phoneme bucket."""
     if len(ids) > bucket:
-        raise ValueError(f"utterance has {len(ids)} phonemes > bucket {bucket}")
+        raise UserError(f"utterance has {len(ids)} phonemes > bucket {bucket}")
     out = np.full((bucket,), pad_id, dtype=np.int32)
     out[: len(ids)] = ids
     return out
@@ -70,4 +72,4 @@ def pick_bucket(n: int, buckets: Sequence[int]) -> int:
     for b in sorted(buckets):
         if n <= b:
             return b
-    raise ValueError(f"length {n} exceeds largest bucket {max(buckets)}")
+    raise UserError(f"length {n} exceeds largest bucket {max(buckets)}")

@@ -119,6 +119,26 @@ def test_all_files_failing_raises(tmp_path, monkeypatch):
     assert not os.path.exists(str(tmp_path / "cache" / "metadata.json"))
 
 
+def test_all_files_skipped_raises_user_error(tmp_path):
+    """Zero usable utterances with zero errors (every wav under min_samples)
+    must fail loudly at build time: writing files=[] metadata would trip the
+    crash-footprint check and re-extract the corpus on every construction."""
+    from spev_tpu.errors import UserError
+    from spev_tpu.utils.wavio import write_wav
+
+    root = str(tmp_path / "corpus")
+    os.makedirs(root)
+    for i in range(2):  # 1000 samples < min_samples=4000
+        write_wav(os.path.join(root, f"u{i}.wav"),
+                  np.zeros(1000, np.float32), 22050)
+        with open(os.path.join(root, f"u{i}.txt"), "w") as f:
+            f.write("hi")
+    cache = str(tmp_path / "cache")
+    with pytest.raises(UserError, match="no usable utterances"):
+        SpevDataset(root, cache_dir=cache, g2p_backend="rules", stats_sample=2)
+    assert not os.path.exists(os.path.join(cache, "metadata.json"))
+
+
 def test_bucket_batcher(corpus_ds):
     vocab = Vocab(corpus_ds.vocab)
     b = BucketBatcher(
