@@ -17,7 +17,7 @@ Layering (bottom-up): `ops` -> `text`/`data` -> `models` -> `train`/`infer`
 blueprint this framework is built to.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 from spev_tpu.config import AudioConfig, ModelConfig, TrainConfig, SpevConfig
 
