@@ -644,6 +644,59 @@ class Synthesizer:
             )
         order = sorted((i for i in range(len(texts)) if i not in long_set),
                        key=lambda i: len(ids_list[i]))
+
+        def _finish(pend):
+            """Fetch a dispatched group, run the (rare) escalation loop,
+            calibrate the fpp estimate, and write its results."""
+            group, ids_b, lens, g_controls, M_group, outs = pend
+            escalated = False
+            while True:
+                wav, mel, mel_len = outs
+                # overlap the three device->host copies (each separate
+                # np.asarray pays a full round trip on remote/tunneled
+                # devices; the wav alone is ~13 MB at B=16/M=768)
+                for a in (wav, mel, mel_len):
+                    if hasattr(a, "copy_to_host_async"):
+                        a.copy_to_host_async()
+                wav, mel, mel_len = np.asarray(wav), np.asarray(mel), np.asarray(mel_len)
+                # mel_len == bucket ⇒ the length regulator may have
+                # truncated: escalate (unless already at the largest
+                # bucket or the caller pinned one)
+                if (frame_bucket is not None
+                        or M_group >= self.frame_buckets[-1]
+                        or (mel_len < M_group).all()):
+                    break
+                escalated = True
+                M_group = self.frame_buckets[self.frame_buckets.index(M_group) + 1]
+                outs = self.synthesize_batch(
+                    ids_b, lens, frame_bucket=M_group, **g_controls
+                )
+            # calibrate the frames/phoneme estimate from unsaturated rows
+            # (saturated rows are truncated, so their ratio understates).
+            # The update is ONE-SIDED on escalation: jump straight to the
+            # observed worst-row ratio (+10% headroom) so a mismatched
+            # checkpoint pays the saturate→escalate double synthesis at
+            # most once, not for several EMA-crawl batches; downward
+            # drift (over-allocation) relaxes via the EMA.
+            ok = mel_len < M_group
+            if frame_bucket is None and ok.any():
+                d_scale = float(np.max(g_controls.get("duration_scale", 1.0)))
+                obs = float(np.max(mel_len[ok] / np.maximum(lens[ok], 1)))
+                obs /= max(d_scale, 0.1)
+                if escalated:
+                    self._fpp = max(self._fpp, obs * 1.1, 1.0)
+                else:
+                    self._fpp = max(0.7 * self._fpp + 0.3 * obs * 1.1, 1.0)
+            for row, i in enumerate(group):
+                L = int(mel_len[row])
+                results[i] = (wav[row, : L * hop], mel[row, :L])
+
+        # depth-1 software pipeline: group k+1 is DISPATCHED before group
+        # k's outputs are fetched, so k's device->host transfer overlaps
+        # k+1's compute (JAX dispatch is async; only np.asarray blocks).
+        # Depth 1 keeps the fpp calibration loop mostly honest: group k+1
+        # picks its bucket with the estimate updated through group k-1.
+        pending = None
         for start in range(0, len(order), batch_size):
             group = order[start : start + batch_size]
             P = pick_bucket(max(len(ids_list[i]) for i in group), self.phoneme_buckets)
@@ -659,54 +712,28 @@ class Synthesizer:
                 )
                 for row, i in enumerate(group):
                     results[i] = rows[row]
+                continue
+            if frame_bucket is None:
+                d_scale = float(np.max(g_controls.get("duration_scale", 1.0)))
+                # frames/phoneme: checkpoint-calibrated + EMA-tracked
+                # (the old constant 10 forced saturation→escalation on
+                # checkpoints trained to longer durations and
+                # over-allocated on shorter ones)
+                est = int(np.ceil(int(lens.max()) * self._fpp
+                                  * max(d_scale, 0.1))) + 16
+                M_group = pick_bucket(
+                    min(est, self.frame_buckets[-1]), self.frame_buckets
+                )
             else:
-                if frame_bucket is None:
-                    d_scale = float(np.max(g_controls.get("duration_scale", 1.0)))
-                    # frames/phoneme: checkpoint-calibrated + EMA-tracked
-                    # (the old constant 10 forced saturation→escalation on
-                    # checkpoints trained to longer durations and
-                    # over-allocated on shorter ones)
-                    est = int(np.ceil(int(lens.max()) * self._fpp
-                                      * max(d_scale, 0.1))) + 16
-                    M_group = pick_bucket(
-                        min(est, self.frame_buckets[-1]), self.frame_buckets
-                    )
-                else:
-                    M_group = M
-                escalated = False
-                while True:
-                    wav, mel, mel_len = self.synthesize_batch(
-                        ids_b, lens, frame_bucket=M_group, **g_controls
-                    )
-                    wav, mel, mel_len = np.asarray(wav), np.asarray(mel), np.asarray(mel_len)
-                    # mel_len == bucket ⇒ the length regulator may have
-                    # truncated: escalate (unless already at the largest
-                    # bucket or the caller pinned one)
-                    if (frame_bucket is not None
-                            or M_group >= self.frame_buckets[-1]
-                            or (mel_len < M_group).all()):
-                        break
-                    escalated = True
-                    M_group = self.frame_buckets[self.frame_buckets.index(M_group) + 1]
-                # calibrate the frames/phoneme estimate from unsaturated rows
-                # (saturated rows are truncated, so their ratio understates).
-                # The update is ONE-SIDED on escalation: jump straight to the
-                # observed worst-row ratio (+10% headroom) so a mismatched
-                # checkpoint pays the saturate→escalate double synthesis at
-                # most once, not for several EMA-crawl batches; downward
-                # drift (over-allocation) relaxes via the EMA.
-                ok = mel_len < M_group
-                if frame_bucket is None and ok.any():
-                    d_scale = float(np.max(g_controls.get("duration_scale", 1.0)))
-                    obs = float(np.max(mel_len[ok] / np.maximum(lens[ok], 1)))
-                    obs /= max(d_scale, 0.1)
-                    if escalated:
-                        self._fpp = max(self._fpp, obs * 1.1, 1.0)
-                    else:
-                        self._fpp = max(0.7 * self._fpp + 0.3 * obs * 1.1, 1.0)
-                for row, i in enumerate(group):
-                    L = int(mel_len[row])
-                    results[i] = (wav[row, : L * hop], mel[row, :L])
+                M_group = M
+            outs = self.synthesize_batch(
+                ids_b, lens, frame_bucket=M_group, **g_controls
+            )
+            if pending is not None:
+                _finish(pending)
+            pending = (group, ids_b, lens, g_controls, M_group, outs)
+        if pending is not None:
+            _finish(pending)
         return results
 
     def synthesize(
