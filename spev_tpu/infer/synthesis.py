@@ -511,15 +511,30 @@ class Synthesizer:
             # learned nasality control (checkpoints with cfg.use_nasality)
             ctl(nasal, 0.0) if (nasal is not None and self.model_cfg.use_nasality) else None,
         )
-        # progressive bucket escalation: run at the smallest frame bucket
-        # and climb only when the length regulator saturated it — short
-        # requests never pay for (or compile) the largest graphs
-        buckets = [frame_bucket] if frame_bucket else list(self.frame_buckets)
+        # progressive bucket escalation, STARTED at the fpp-estimated
+        # bucket: short requests never pay for (or compile) the largest
+        # graphs, and a full-bucket span (the long-text chunking path)
+        # doesn't burn runs climbing 256→512→768 when the calibrated
+        # frames/phoneme estimate already says it needs the top bucket
+        if frame_bucket:
+            buckets = [frame_bucket]
+        else:
+            d_sc = float(np.max(duration_scale))
+            est = int(np.ceil(n_ph * self._fpp * max(d_sc, 0.1))) + 16
+            start = pick_bucket(min(est, self.frame_buckets[-1]), self.frame_buckets)
+            buckets = [b for b in self.frame_buckets if b >= start]
         for M_ac in buckets:
             mel, mel_len = self._acoustic_graph(P, M_ac)(*args)
             L = int(mel_len[0])  # the request's single host sync
             if L < M_ac or M_ac == buckets[-1]:
                 break
+        if frame_bucket is None and L < M_ac:
+            d_sc = max(float(np.max(duration_scale)), 0.1)
+            obs = L / max(n_ph, 1) / d_sc
+            if M_ac > buckets[0]:  # escalated: one-sided jump (cf. synthesize_many)
+                self._fpp = max(self._fpp, obs * 1.1, 1.0)
+            else:
+                self._fpp = max(0.7 * self._fpp + 0.3 * obs * 1.1, 1.0)
         M_voc = pick_bucket(L, self.frame_buckets)
         # re-bucket the mel for the vocoder (floor padding ≈ silence; the
         # HiFi-GAN path additionally masks by mel_len for exact parity)
