@@ -462,10 +462,15 @@ class Synthesizer:
                     return v
                 return np.asarray(v)[sl]
 
+            # depth-1 software pipeline over spans (cf. synthesize_many):
+            # span k+1's acoustic pass is dispatched before span k's host
+            # sync, so k's device->host work overlaps k+1's compute — JAX
+            # dispatch is async, only the fetches block
+            pending = None
             wavs, mels = [], []
             for s in range(0, n_ph, p_max):
                 sl = slice(s, min(s + p_max, n_ph))
-                w, m = self.synthesize_ids(
+                pend = self._ids_dispatch(
                     ids[sl],
                     breath=span(breath, sl), rough=span(rough, sl),
                     bright=span(bright, sl), nasal=span(nasal, sl),
@@ -475,10 +480,42 @@ class Synthesizer:
                     frame_bucket=frame_bucket,
                     speaker_id=speaker_id, vad=vad,
                 )
-                wavs.append(w)
-                mels.append(m)
+                if pending is not None:
+                    w, m = self._ids_finish(pending)
+                    wavs.append(w)
+                    mels.append(m)
+                pending = pend
+            w, m = self._ids_finish(pending)
+            wavs.append(w)
+            mels.append(m)
             return np.concatenate(wavs), np.concatenate(mels, axis=0)
 
+        return self._ids_finish(self._ids_dispatch(
+            ids, breath=breath, rough=rough, bright=bright, nasal=nasal,
+            duration_scale=duration_scale, pitch_scale=pitch_scale,
+            energy_scale=energy_scale, frame_bucket=frame_bucket,
+            speaker_id=speaker_id, vad=vad,
+        ))
+
+    def _ids_dispatch(
+        self,
+        ids: np.ndarray,
+        breath=None,
+        rough=None,
+        bright=None,
+        duration_scale=1.0,
+        pitch_scale=1.0,
+        energy_scale=1.0,
+        frame_bucket: Optional[int] = None,
+        speaker_id: Optional[int] = None,
+        vad: Optional[Sequence[float]] = None,
+        nasal: Optional[np.ndarray] = None,
+    ) -> dict:
+        """Stage 1 of a single-utterance request: build padded args and
+        dispatch the acoustic graph at the fpp-estimated frame bucket.
+        Returns a pending record for `_ids_finish` (which syncs, handles
+        escalation, runs the vocoder, and fetches)."""
+        n_ph = len(ids)
         P = pick_bucket(n_ph, self.phoneme_buckets)
 
         def ctl(v, default):
@@ -523,13 +560,27 @@ class Synthesizer:
             est = int(np.ceil(n_ph * self._fpp * max(d_sc, 0.1))) + 16
             start = pick_bucket(min(est, self.frame_buckets[-1]), self.frame_buckets)
             buckets = [b for b in self.frame_buckets if b >= start]
-        for M_ac in buckets:
-            mel, mel_len = self._acoustic_graph(P, M_ac)(*args)
+        mel, mel_len = self._acoustic_graph(P, buckets[0])(*args)
+        return {
+            "args": args, "P": P, "n_ph": n_ph, "buckets": buckets,
+            "frame_bucket": frame_bucket, "d_scale": float(np.max(duration_scale)),
+            "mel": mel, "mel_len": mel_len,
+        }
+
+    def _ids_finish(self, pend: dict) -> Tuple[np.ndarray, np.ndarray]:
+        """Stage 2: sync the frame count, escalate on saturation, calibrate
+        the fpp estimate, vocode at the right-sized bucket, fetch."""
+        args, P, n_ph = pend["args"], pend["P"], pend["n_ph"]
+        buckets, frame_bucket = pend["buckets"], pend["frame_bucket"]
+        mel, mel_len = pend["mel"], pend["mel_len"]
+        for k, M_ac in enumerate(buckets):
+            if k > 0:
+                mel, mel_len = self._acoustic_graph(P, M_ac)(*args)
             L = int(mel_len[0])  # the request's single host sync
             if L < M_ac or M_ac == buckets[-1]:
                 break
         if frame_bucket is None and L < M_ac:
-            d_sc = max(float(np.max(duration_scale)), 0.1)
+            d_sc = max(pend["d_scale"], 0.1)
             obs = L / max(n_ph, 1) / d_sc
             if M_ac > buckets[0]:  # escalated: one-sided jump (cf. synthesize_many)
                 self._fpp = max(self._fpp, obs * 1.1, 1.0)
@@ -550,7 +601,14 @@ class Synthesizer:
         )
         voc_params = self._voc_params() if self.vocoder.is_neural else {}
         wav = self._vocoder_graph(M_voc)(voc_params, mel_v, mel_len)
-        return np.asarray(wav[0, : L * hop]), np.asarray(mel[0, :L])
+        # slice to valid length on DEVICE, then overlap the two
+        # device->host copies (each separate np.asarray pays a full round
+        # trip on remote/tunneled devices)
+        wav_s, mel_s = wav[0, : L * hop], mel[0, :L]
+        for a in (wav_s, mel_s):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
+        return np.asarray(wav_s), np.asarray(mel_s)
 
     def synthesize_many(
         self,

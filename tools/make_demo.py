@@ -1,0 +1,119 @@
+"""Generate the committed audio demo (docs/demo/): train the synthetic
+formant corpus to convergence, then synthesize held-out utterances.
+
+The env has no network, so LJSpeech and the upstream HiFi-GAN checkpoint
+are unreachable; the strongest offline evidence that the full pipeline
+produces *audio that tracks its targets* is: train on the synthetic corpus
+(docs/QUALITY.md setup), synthesize VALIDATION utterances from their
+phoneme sequences, and commit ground-truth vs synthesized wav + mel pairs.
+
+Usage:  timeout 3600 python tools/make_demo.py [epochs] [out_dir]
+Writes: {utt}_gt.wav, {utt}_synth.wav, {utt}_mels.png per demo utterance
+        + demo_metrics.json (per-utterance MCD, final val dashboard).
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# same env as docs/QUALITY.md (8 virtual CPU devices)
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from spev_tpu.config import ModelConfig, SpevConfig, TrainConfig  # noqa: E402
+from spev_tpu.data.batching import BucketBatcher, train_val_split  # noqa: E402
+from spev_tpu.data.dataset import SpevDataset  # noqa: E402
+from spev_tpu.data.synthetic import generate_formant_corpus  # noqa: E402
+from spev_tpu.diag.plots import save_comparison_plot  # noqa: E402
+from spev_tpu.diag.quality import mel_cepstral_distortion  # noqa: E402
+from spev_tpu.text.vocab import Vocab  # noqa: E402
+from spev_tpu.train.trainer import Trainer  # noqa: E402
+from spev_tpu.utils.wavio import write_wav  # noqa: E402
+
+
+def main(epochs: int = 150, out_dir: str = "docs/demo") -> None:
+    work = tempfile.mkdtemp(prefix="spev_demo_")
+    root, cache = os.path.join(work, "corpus"), os.path.join(work, "cache")
+    tg_dir = generate_formant_corpus(root, n_utterances=120, seed=0)
+    ds = SpevDataset(root, textgrid_dir=tg_dir, cache_dir=cache,
+                     g2p_backend="rules", stats_sample=60)
+    vocab = Vocab(ds.vocab)
+    cfg = SpevConfig(
+        model=ModelConfig(vocab_size=len(vocab), embed_dim=96, hidden_dim=96,
+                          n_mels=80, max_phonemes=32, max_frames=256,
+                          vp_output_norm=False),
+        train=TrainConfig(batch_size=16, warmup_steps=50, epochs=epochs,
+                          warmup_epochs=2, learning_rate=2e-3),
+    )
+    tr_idx, va_idx = train_val_split(len(ds), 0.1, seed=0)
+    trainer = Trainer(cfg, vocab, ds.stats, ckpt_dir=os.path.join(work, "ck"),
+                      log_dir=os.path.join(work, "logs"))
+    bt = BucketBatcher(ds, vocab, batch_size=16, phoneme_buckets=(32,),
+                       frame_buckets=(256,), indices=tr_idx)
+    bv = BucketBatcher(ds, vocab, batch_size=16, phoneme_buckets=(32,),
+                       frame_buckets=(256,), indices=va_idx)
+    for epoch in range(epochs):
+        m = trainer.train_epoch(bt.epoch(epoch))
+        val = trainer.validate(bv.epoch(0))
+        if epoch % 10 == 0 or epoch == epochs - 1:
+            q = trainer.last_quality
+            print(f"epoch {epoch}: loss {m['train_loss']:.3f} val {val:.3f} "
+                  f"MCD {q.get('val_mcd_db', float('nan')):.1f} "
+                  f"durerr {q.get('val_dur_err_pct', float('nan')):.1f}%",
+                  flush=True)
+    ckpt = trainer.save("demo")
+
+    # --- synthesize held-out utterances from their phoneme sequences ------
+    from spev_tpu.infer.synthesis import Synthesizer
+
+    synth = Synthesizer(ckpt, hifigan_dir=None, model_cfg=cfg.model,
+                        g2p_backend="rules",
+                        phoneme_buckets=(32,), frame_buckets=(256,))
+    os.makedirs(out_dir, exist_ok=True)
+    metrics = {"final_quality": {k: round(float(v), 2)
+                                 for k, v in trainer.last_quality.items()},
+               "epochs": epochs, "utterances": {}}
+    for j, idx in enumerate(va_idx[:3]):
+        with np.load(os.path.join(ds.cache_dir, ds.files[idx]),
+                     allow_pickle=True) as u:
+            phs = [str(p) for p in u["phs"]]
+            mel_gt = np.asarray(u["mel"])
+        ids = synth.phonemes_to_ids(phs)
+        wav, mel = synth.synthesize_ids(ids)
+        name = f"val{j}"
+        # ground truth audio: the corpus wav itself
+        src_wav = sorted(
+            f for f in os.listdir(root) if f.endswith(".wav")
+        )[idx]
+        shutil.copy(os.path.join(root, src_wav), os.path.join(out_dir, f"{name}_gt.wav"))
+        write_wav(os.path.join(out_dir, f"{name}_synth.wav"),
+                  np.clip(wav, -1, 1), synth.audio.sample_rate)
+        save_comparison_plot(mel_gt, mel, os.path.join(out_dir, f"{name}_mels.png"))
+        T = min(len(mel), len(mel_gt))
+        mcd = float(mel_cepstral_distortion(mel[:T], mel_gt[:T]))
+        metrics["utterances"][name] = {
+            "phonemes": len(phs), "frames_pred": int(len(mel)),
+            "frames_gt": int(len(mel_gt)), "mcd_db_vs_gt": round(mcd, 2),
+        }
+        print(f"{name}: {len(phs)} phonemes -> {len(mel)} frames "
+              f"(gt {len(mel_gt)}), MCD {mcd:.2f} dB", flush=True)
+    with open(os.path.join(out_dir, "demo_metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    print("demo written to", out_dir)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 150,
+         sys.argv[2] if len(sys.argv) > 2 else "docs/demo")
