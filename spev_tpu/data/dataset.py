@@ -127,27 +127,37 @@ class FeatureExtractor:
         n = ((len(y) + _SIG_BUCKET - 1) // _SIG_BUCKET) * _SIG_BUCKET
         return np.pad(y.astype(np.float32), (0, n - len(y))), n
 
+    @staticmethod
+    def _fetch(*arrays):
+        """Overlap the device->host copies: each separate np.asarray pays a
+        full round trip on remote/tunneled devices (~45 ms each on the axon
+        relay — dominating the per-utterance extraction cost otherwise)."""
+        for a in arrays:
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
+        return [np.asarray(a) for a in arrays]
+
     def full_features(self, y: np.ndarray):
         """(mel (n_mels, T), f0, voiced_prob, log_rms, centroid) with frame
         counts trimmed to the true signal length."""
         a = self.audio
         ypad, n = self._bucket(y)
-        mel, f0, vprob, rms, cent = self._get_full(n)(jnp.asarray(ypad))
+        mel, f0, vprob, rms, cent = self._fetch(*self._get_full(n)(jnp.asarray(ypad)))
         t = 1 + len(y) // a.hop_length
         return (
-            np.asarray(mel)[:, :t],
-            np.asarray(f0)[:t],
-            np.asarray(vprob)[:t],
-            np.log(np.asarray(rms)[:t] + 1e-6),
-            np.asarray(cent)[:t],
+            mel[:, :t],
+            f0[:t],
+            vprob[:t],
+            np.log(rms[:t] + 1e-6),
+            cent[:t],
         )
 
     def stats_features(self, y: np.ndarray):
         ypad, n = self._bucket(y)
-        f0, rms, cent = self._get_stats(n)(jnp.asarray(ypad))
+        f0, rms, cent = self._fetch(*self._get_stats(n)(jnp.asarray(ypad)))
         t256 = 1 + len(y) // self.audio.hop_length
         t512 = 1 + len(y) // 512
-        return np.asarray(f0)[:t512], np.asarray(rms)[:t256], np.asarray(cent)[:t256]
+        return f0[:t512], rms[:t256], cent[:t256]
 
 
 def _rescale_durations(durs: List[int], phs: List[str], target: int):
