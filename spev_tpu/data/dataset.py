@@ -278,9 +278,27 @@ class SpevDataset:
         entries = []
         tot_frames = tot_phonemes = 0
         n_errors, first_error = 0, None
+        # one-ahead wav prefetch: decode utterance i+1 on a worker thread
+        # while the device runs utterance i's feature graph (the decode +
+        # resample is pure host work and otherwise serializes the build)
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="spev-build")
+        pre = pool.submit(self._load, wavs[0])
         for i, wav_path in enumerate(wavs):
             try:
-                entry = self._process_file(i, wav_path, textgrid_dir, fx, g2p, min_samples)
+                try:
+                    y = pre.result()
+                    y_err = None
+                except Exception as e:  # decode failure: surface below
+                    y, y_err = None, e
+                if i + 1 < len(wavs):
+                    pre = pool.submit(self._load, wavs[i + 1])
+                if y_err is not None:
+                    raise y_err
+                entry = self._process_file(
+                    i, wav_path, textgrid_dir, fx, g2p, min_samples, y=y
+                )
             except Exception as e:
                 # one bad file must not kill a corpus build, but errors must
                 # not vanish either: count them, keep the first, and fail
@@ -303,6 +321,7 @@ class SpevDataset:
                 speaker_set.add(spk)
                 entries.append((path, spk))
 
+        pool.shutdown(wait=False)
         if n_errors and first_error is not None:
             if not self.files:
                 raise RuntimeError(
@@ -359,8 +378,9 @@ class SpevDataset:
             y = resample_linear(y, sr, self.audio.sample_rate)
         return y
 
-    def _process_file(self, i, wav_path, textgrid_dir, fx, g2p, min_samples):
-        y = self._load(wav_path)
+    def _process_file(self, i, wav_path, textgrid_dir, fx, g2p, min_samples, y=None):
+        if y is None:
+            y = self._load(wav_path)
         if len(y) < min_samples:
             return None
         basename = os.path.splitext(os.path.basename(wav_path))[0]
