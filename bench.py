@@ -421,7 +421,7 @@ def measure_adaptive_serving(
         p_cap = phoneme_buckets[-1] - 2  # room for the two <SIL> marks
         texts = []
         for _ in range(n_requests):
-            n_ph = int(rng.integers(32, min(129, p_cap + 1)))
+            n_ph = int(rng.integers(min(32, p_cap), min(129, p_cap + 1)))
             t, cur = [], 0
             while True:
                 w = words[int(rng.integers(len(words)))]
@@ -438,11 +438,13 @@ def measure_adaptive_serving(
         from spev_tpu.text.vocab import pad_to_bucket
 
         ids0 = [synth.phonemes_to_ids(synth.g2p.phonemes(t)) for t in texts[:B]]
-        P = phoneme_buckets[-1]
-        warm_ids = np.stack([pad_to_bucket(i, P, synth.vocab.pad_id) for i in ids0])
         warm_lens = np.asarray([len(i) for i in ids0], np.int32)
-        for M_w in frame_buckets:
-            synth.synthesize_batch(warm_ids, warm_lens, frame_bucket=M_w)
+        for P_w in phoneme_buckets:
+            warm_ids = np.stack([pad_to_bucket(i[:P_w], P_w, synth.vocab.pad_id)
+                                 for i in ids0])
+            lens_w = np.minimum(warm_lens, P_w)
+            for M_w in frame_buckets:
+                synth.synthesize_batch(warm_ids, lens_w, frame_bucket=M_w)
         synth.synthesize_many(texts, batch_size=B)  # warm the host path
         t0 = time.perf_counter()
         results = synth.synthesize_many(texts, batch_size=B)

@@ -45,7 +45,7 @@ from spev_tpu.errors import UserError
 from spev_tpu.text.g2p import G2P
 from spev_tpu.text.textgrid import intervals_to_durations, phone_intervals
 from spev_tpu.text.vocab import SPECIALS
-from spev_tpu.utils.platform import on_tpu
+from spev_tpu.utils.platform import fetch_overlapped, on_tpu
 from spev_tpu.utils.wavio import read_wav, resample_linear
 
 _SIG_BUCKET = 8192
@@ -129,13 +129,9 @@ class FeatureExtractor:
 
     @staticmethod
     def _fetch(*arrays):
-        """Overlap the device->host copies: each separate np.asarray pays a
-        full round trip on remote/tunneled devices (~45 ms each on the axon
-        relay — dominating the per-utterance extraction cost otherwise)."""
-        for a in arrays:
-            if hasattr(a, "copy_to_host_async"):
-                a.copy_to_host_async()
-        return [np.asarray(a) for a in arrays]
+        """Overlap the device->host copies (utils.platform.fetch_overlapped):
+        sequential np.asarray round trips dominated per-utterance cost."""
+        return fetch_overlapped(*arrays)
 
     def full_features(self, y: np.ndarray):
         """(mel (n_mels, T), f0, voiced_prob, log_rms, centroid) with frame

@@ -35,6 +35,7 @@ from spev_tpu.models.hifigan import apply_hifigan
 from spev_tpu.infer.vocoder import Vocoder
 from spev_tpu.ops.griffin_lim import mel_to_audio
 from spev_tpu.text.g2p import G2P
+from spev_tpu.utils.platform import fetch_overlapped
 from spev_tpu.errors import UserError
 from spev_tpu.text.vocab import Vocab, pad_to_bucket, pick_bucket
 
@@ -134,6 +135,11 @@ class Synthesizer:
         # handlers, the batcher worker) share ONE jitted callable per key
         # instead of racing into duplicate compilations
         self._graph_lock = threading.Lock()
+        # guards the _fpp read-modify-write: concurrent server threads
+        # updating the estimate must not lose an escalation-driven upward
+        # jump (that would re-pay the saturate->escalate double synthesis
+        # the one-sided update bounds to once)
+        self._fpp_lock = threading.Lock()
         self._voc_cache: Optional[tuple] = None
         # frames-per-phoneme estimate for adaptive frame buckets: seeded from
         # the checkpoint's dataset stats when present, then tracked as a
@@ -582,10 +588,11 @@ class Synthesizer:
         if frame_bucket is None and L < M_ac:
             d_sc = max(pend["d_scale"], 0.1)
             obs = L / max(n_ph, 1) / d_sc
-            if M_ac > buckets[0]:  # escalated: one-sided jump (cf. synthesize_many)
-                self._fpp = max(self._fpp, obs * 1.1, 1.0)
-            else:
-                self._fpp = max(0.7 * self._fpp + 0.3 * obs * 1.1, 1.0)
+            with self._fpp_lock:
+                if M_ac > buckets[0]:  # escalated: one-sided jump (cf. synthesize_many)
+                    self._fpp = max(self._fpp, obs * 1.1, 1.0)
+                else:
+                    self._fpp = max(0.7 * self._fpp + 0.3 * obs * 1.1, 1.0)
         M_voc = pick_bucket(L, self.frame_buckets)
         # re-bucket the mel for the vocoder (floor padding ≈ silence; the
         # HiFi-GAN path additionally masks by mel_len for exact parity)
@@ -602,13 +609,9 @@ class Synthesizer:
         voc_params = self._voc_params() if self.vocoder.is_neural else {}
         wav = self._vocoder_graph(M_voc)(voc_params, mel_v, mel_len)
         # slice to valid length on DEVICE, then overlap the two
-        # device->host copies (each separate np.asarray pays a full round
-        # trip on remote/tunneled devices)
-        wav_s, mel_s = wav[0, : L * hop], mel[0, :L]
-        for a in (wav_s, mel_s):
-            if hasattr(a, "copy_to_host_async"):
-                a.copy_to_host_async()
-        return np.asarray(wav_s), np.asarray(mel_s)
+        # device->host copies
+        wav_s, mel_s = fetch_overlapped(wav[0, : L * hop], mel[0, :L])
+        return wav_s, mel_s
 
     def synthesize_many(
         self,
@@ -725,13 +728,9 @@ class Synthesizer:
             escalated = False
             while True:
                 wav, mel, mel_len = outs
-                # overlap the three device->host copies (each separate
-                # np.asarray pays a full round trip on remote/tunneled
-                # devices; the wav alone is ~13 MB at B=16/M=768)
-                for a in (wav, mel, mel_len):
-                    if hasattr(a, "copy_to_host_async"):
-                        a.copy_to_host_async()
-                wav, mel, mel_len = np.asarray(wav), np.asarray(mel), np.asarray(mel_len)
+                # overlap the three device->host copies (the wav alone is
+                # ~13 MB at B=16/M=768)
+                wav, mel, mel_len = fetch_overlapped(wav, mel, mel_len)
                 # mel_len == bucket ⇒ the length regulator may have
                 # truncated: escalate (unless already at the largest
                 # bucket or the caller pinned one)
@@ -756,10 +755,11 @@ class Synthesizer:
                 d_scale = float(np.max(g_controls.get("duration_scale", 1.0)))
                 obs = float(np.max(mel_len[ok] / np.maximum(lens[ok], 1)))
                 obs /= max(d_scale, 0.1)
-                if escalated:
-                    self._fpp = max(self._fpp, obs * 1.1, 1.0)
-                else:
-                    self._fpp = max(0.7 * self._fpp + 0.3 * obs * 1.1, 1.0)
+                with self._fpp_lock:
+                    if escalated:
+                        self._fpp = max(self._fpp, obs * 1.1, 1.0)
+                    else:
+                        self._fpp = max(0.7 * self._fpp + 0.3 * obs * 1.1, 1.0)
             for row, i in enumerate(group):
                 L = int(mel_len[row])
                 results[i] = (wav[row, : L * hop], mel[row, :L])

@@ -12,3 +12,19 @@ def on_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+def fetch_overlapped(*arrays):
+    """Materialize device arrays on host with OVERLAPPED copies.
+
+    Each bare ``np.asarray(device_array)`` is a blocking round trip; on
+    remote/tunneled devices (axon relay: ~45 ms RTT) fetching N results
+    sequentially costs N round trips.  Starting every copy first
+    (``copy_to_host_async``) overlaps them.  Returns a list of np.ndarray.
+    """
+    import numpy as np
+
+    for a in arrays:
+        if hasattr(a, "copy_to_host_async"):
+            a.copy_to_host_async()
+    return [np.asarray(a) for a in arrays]

@@ -93,11 +93,19 @@ def main(epochs: int = 150, out_dir: str = "docs/demo") -> None:
         ids = synth.phonemes_to_ids(phs)
         wav, mel = synth.synthesize_ids(ids)
         name = f"val{j}"
-        # ground truth audio: the corpus wav itself
-        src_wav = sorted(
-            f for f in os.listdir(root) if f.endswith(".wav")
-        )[idx]
-        shutil.copy(os.path.join(root, src_wav), os.path.join(out_dir, f"{name}_gt.wav"))
+        # ground truth audio: the corpus wav itself.  ds.files[idx] is
+        # 'u_{i:05d}.npz' where i indexes the dataset's SORTED RECURSIVE
+        # wav glob — pairing by position among surviving entries would
+        # silently mismatch gt and synth whenever any utterance is skipped
+        import re as _re
+
+        wav_i = int(_re.match(r"u_(\d+)\.npz$", ds.files[idx]).group(1))
+        import glob as _glob
+
+        all_wavs = sorted(_glob.glob(os.path.join(os.path.abspath(root),
+                                                  "**", "*.wav"), recursive=True))
+        src_wav = all_wavs[wav_i]
+        shutil.copy(src_wav, os.path.join(out_dir, f"{name}_gt.wav"))
         write_wav(os.path.join(out_dir, f"{name}_synth.wav"),
                   np.clip(wav, -1, 1), synth.audio.sample_rate)
         save_comparison_plot(mel_gt, mel, os.path.join(out_dir, f"{name}_mels.png"))
