@@ -30,7 +30,9 @@ def main(argv=None) -> None:
     p.add_argument("--config", default="v1", choices=["v1", "v3", "tiny"],
                    help="generator size (tiny = smoke-test scale)")
     p.add_argument("--finetune_from", default=None,
-                   help="upstream HiFi-GAN dir (config.json + g_*) to fine-tune")
+                   help="upstream HiFi-GAN dir (config.json + g_*) OR a "
+                        "gen_*.spev saved by this trainer (resume; pair "
+                        "with the matching --config)")
     p.add_argument("--steps", type=int, default=10000)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--segment_frames", type=int, default=32,
@@ -65,22 +67,30 @@ def main(argv=None) -> None:
     hop = audio.hop_length
     seg = args.segment_frames * hop
 
+    if args.config == "v1":
+        cfg = HiFiGANConfig()
+    elif args.config == "v3":
+        cfg = HiFiGANConfig.v3()
+    else:  # tiny smoke-test generator
+        cfg = HiFiGANConfig(
+            resblock="2", upsample_rates=(8, 8, 4), upsample_kernel_sizes=(16, 16, 8),
+            upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 2),),
+        )
+    gen_params = None
     if args.finetune_from:
-        gen = HiFiGANGenerator.from_pretrained(args.finetune_from)
-        cfg, gen_params = gen.cfg, gen.params
+        if args.finetune_from.endswith(".spev"):
+            # resume from this trainer's OWN saved generator (gen_*.spev,
+            # architecture given by --config) — found by use: only the
+            # upstream dir form was accepted, so a stopped run could not
+            # continue from its checkpoints
+            from spev_tpu.train.checkpoint import load_params
+
+            gen_params, _, _ = load_params(args.finetune_from)
+        else:
+            gen = HiFiGANGenerator.from_pretrained(args.finetune_from)
+            cfg, gen_params = gen.cfg, gen.params
         print(f"fine-tuning from {args.finetune_from}")
-    else:
-        if args.config == "v1":
-            cfg = HiFiGANConfig()
-        elif args.config == "v3":
-            cfg = HiFiGANConfig.v3()
-        else:  # tiny smoke-test generator
-            cfg = HiFiGANConfig(
-                resblock="2", upsample_rates=(8, 8, 4), upsample_kernel_sizes=(16, 16, 8),
-                upsample_initial_channel=16, resblock_kernel_sizes=(3,),
-                resblock_dilation_sizes=((1, 2),),
-            )
-        gen_params = None
 
     wavs = sorted(glob.glob(os.path.join(args.data_dir, "**", "*.wav"), recursive=True))
     if not wavs:

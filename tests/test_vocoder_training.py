@@ -113,3 +113,13 @@ def test_vocoder_cli_end_to_end(tmp_path, monkeypatch):
           "--save_every", "2"])
     ckpts = _glob.glob(str(tmp_path / "checkpoints" / "smoke" / "gen_*.spev"))
     assert len(ckpts) == 1, ckpts
+
+    # resume from the trainer's OWN .spev output (found by use: only the
+    # upstream dir form was accepted before)
+    main(["--data_dir", str(tmp_path), "--name", "smoke2", "--config", "tiny",
+          "--finetune_from", ckpts[0],
+          "--steps", "2", "--batch_size", "2", "--segment_frames", "16",
+          "--periods", "2", "--scales", "1", "--log_every", "1",
+          "--save_every", "2"])
+    ckpts2 = _glob.glob(str(tmp_path / "checkpoints" / "smoke2" / "gen_*.spev"))
+    assert len(ckpts2) == 1, ckpts2
