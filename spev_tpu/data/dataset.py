@@ -245,6 +245,7 @@ class SpevDataset:
         rng = random.Random(seed)
         sample = rng.sample(wavs, min(len(wavs), stats_sample))
         all_p, all_e, all_c = [], [], []
+        stats_errors, stats_first = 0, None
         for w in sample:
             try:
                 y = self._load(w)
@@ -255,8 +256,21 @@ class SpevDataset:
                 all_p.extend(logf0[logf0 > -5].tolist())
                 all_e.extend(np.log(rms + 1e-6).tolist())
                 all_c.extend(np.log(cent + 1e-8).tolist())
-            except Exception:
+            except Exception as e:
+                # per-file errors must not kill the stats pass (reference
+                # behavior) but silent skips skew the normalization stats —
+                # account for them and warn (pass 2 fails loudly if the
+                # cause is systemic, since it uses the same extractor)
+                stats_errors += 1
+                if stats_first is None:
+                    stats_first = (w, e)
                 continue
+        if stats_errors:
+            print(
+                f"Warning: stats pass skipped {stats_errors}/{len(sample)} "
+                f"files on errors; first ({os.path.basename(stats_first[0])}): "
+                f"{stats_first[1]!r}"
+            )
         self.stats = {
             "p_mean": float(np.mean(all_p)) if all_p else 0.0,
             "p_std": float(np.std(all_p)) + 1e-5 if all_p else 1.0,
