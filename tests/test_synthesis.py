@@ -421,3 +421,33 @@ def test_data_parallel_serving_matches_single_device(tmp_path, tiny_gen):
     np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-4)
     # the output really lives sharded on the mesh
     assert len(w2.sharding.device_set) == 8
+
+
+def test_concurrent_synthesize_ids_threads(tmp_path, tiny_gen):
+    """Concurrent per-request synthesis (the threaded-server pattern) must
+    produce the same outputs as serial calls: graph get-or-create and the
+    fpp estimate update are the shared mutable state (both locked)."""
+    import threading
+
+    vocab = _vocab()
+    path, cfg = _make_ckpt(tmp_path, vocab)
+    synth = Synthesizer(path, model_cfg=cfg, g2p_backend="rules",
+                        phoneme_buckets=(64,), frame_buckets=(64, 128, 256))
+    synth.vocoder = Vocoder(generator=tiny_gen)
+    texts = ["alpha one", "bravo two two", "charlie three", "delta"] * 2
+    serial = [synth.synthesize(t) for t in texts]
+
+    results = [None] * len(texts)
+
+    def run(i):
+        results[i] = synth.synthesize(texts[i])
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(len(texts))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for (w1, m1), (w2, m2) in zip(serial, results):
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-4)
+    assert np.isfinite(synth._fpp) and synth._fpp >= 1.0
