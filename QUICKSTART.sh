@@ -166,11 +166,21 @@ align() {
   echo "TextGrids in data/textgrid_data — training picks them up via --textgrid_dir"
 }
 
+demo() {
+  # fully OFFLINE end-to-end proof: train acoustic model + GAN vocoder on
+  # the synthetic formant corpus, write audio artifacts to docs/demo/
+  # (no dataset download or upstream checkpoint needed; ~40 min CPU)
+  "$PY" tools/make_demo.py "${2:-150}" docs/demo
+  echo "acoustic demo in docs/demo/; for the GAN vocoder stage see"
+  echo "tools/gan_copysynth.py's docstring (spev-vocoder-train recipe)"
+}
+
 case "${1:-setup}" in
   setup) setup ;;
   check) check ;;
   data) data ;;
   vocoder) vocoder ;;
   align) align ;;
-  *) echo "usage: $0 {setup|check|data|vocoder|align}"; exit 1 ;;
+  demo) demo "$@" ;;
+  *) echo "usage: $0 {setup|check|data|vocoder|align|demo}"; exit 1 ;;
 esac
