@@ -32,12 +32,28 @@ from spev_tpu.errors import UserError
 _FEATURE_KEYS = ("pitch", "energy", "breath", "rough", "bright")
 
 
+_KEY_ALIASES = {
+    # the monolithic proper_cache_strict.pt belongs to the reference's
+    # ABSENT spev_tts.py, so its exact field names are unknowable; accept
+    # the surviving engine's names plus their obvious long forms
+    "phs": ("phs", "phonemes"),
+    "durs": ("durs", "durations"),
+}
+
+
+def _get(u: dict, key: str):
+    for k in _KEY_ALIASES.get(key, (key,)):
+        if k in u:
+            return u[k]
+    raise KeyError(key)
+
+
 def _write_utterance(out_dir: str, name: str, u: dict) -> Optional[str]:
     """One reference cache entry → one spev npz entry (same field layout
     as spev_tpu.data.dataset._process_file)."""
     try:
-        phs = [str(p) for p in u["phs"]]
-        durs = np.asarray(u["durs"], np.int32)
+        phs = [str(p) for p in _get(u, "phs")]
+        durs = np.asarray(_get(u, "durs"), np.int32)
         mel = np.asarray(u["mel"], np.float32)  # (T, n_mels) both sides
         if mel.ndim != 2 or len(phs) != len(durs) or int(durs.sum()) != mel.shape[0]:
             return None
@@ -126,7 +142,15 @@ def import_monolithic_cache(path: str, out_cache_dir: str) -> dict:
         p = _write_utterance(out_cache_dir, f"u_{i:05d}", u)
         if p:
             files.append(os.path.basename(p))
-            vocab_set.update(str(x) for x in u["phs"])
+            vocab_set.update(str(x) for x in _get(u, "phs"))
+    if not files:
+        raise UserError(
+            f"{path}: recognized the cache layout but every one of the "
+            f"{len(utts)} utterance entries was rejected (missing/"
+            "inconsistent fields: need phs|phonemes, durs|durations, mel "
+            "with sum(durs) == mel frames, and per-phoneme "
+            "pitch/energy/breath/rough/bright)"
+        )
     if vocab is None:
         vocab = sorted(vocab_set | {"<PAD>", "<UNK>", "<SIL>"})
     meta = {"files": files, "stats": stats, "vocab": list(vocab), "speakers": []}

@@ -125,3 +125,36 @@ def test_import_monolithic_rejects_garbage(tmp_path):
     torch.save({"something": 1}, bad)
     with pytest.raises(ValueError, match="unrecognized monolithic cache layout"):
         import_monolithic_cache(bad, str(tmp_path / "o"))
+
+
+def test_monolithic_alias_keys_and_loud_empty(tmp_path):
+    """The monolithic proper_cache_strict.pt belongs to the reference's
+    ABSENT module, so long-form keys (phonemes/durations) must import too
+    (found by use: they were silently rejected -> 0-file cache); and a
+    cache where EVERY entry is rejected must raise, not write an empty
+    metadata.json."""
+    import torch
+
+    from spev_tpu.data.cache_import import import_monolithic_cache
+    from spev_tpu.errors import UserError
+
+    def utt(n_ph=6, T=18):
+        return {
+            "phonemes": [chr(ord("a") + j) for j in range(n_ph)],
+            "durations": torch.full((n_ph,), T // n_ph, dtype=torch.float32),
+            "mel": torch.randn(T, 8).clamp(-10, 2),
+            "pitch": torch.randn(n_ph), "energy": torch.randn(n_ph),
+            "breath": torch.rand(n_ph), "rough": torch.rand(n_ph),
+            "bright": torch.randn(n_ph),
+        }
+
+    path = str(tmp_path / "mono.pt")
+    torch.save({"utterances": [utt(), utt()], "stats": {}}, path)
+    meta = import_monolithic_cache(path, str(tmp_path / "out"))
+    assert len(meta["files"]) == 2
+    assert "a" in meta["vocab"] and "<SIL>" in meta["vocab"]
+
+    bad = str(tmp_path / "bad.pt")
+    torch.save({"utterances": [{"mel": torch.randn(4, 8)}]}, bad)
+    with pytest.raises(UserError, match="every one of the 1"):
+        import_monolithic_cache(bad, str(tmp_path / "out2"))
