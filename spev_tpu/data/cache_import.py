@@ -81,12 +81,23 @@ def import_reference_cache(ref_cache_dir: str, out_cache_dir: str) -> dict:
     meta_path = os.path.join(ref_cache_dir, "metadata.json")
     with open(meta_path) as f:
         ref_meta = json.load(f)
-    os.makedirs(out_cache_dir, exist_ok=True)
 
-    files = []
     listed = ref_meta.get("files") or sorted(
         glob.glob(os.path.join(ref_cache_dir, "u_*.pt"))
     )
+    # converting a cache that is ALREADY in this framework's npz format
+    # must fail with a clear message, not a torch-zip reader traceback
+    # (found by use: spev-convert cache <spev cache> crashed inside the
+    # torch loader on the first .npz)
+    if any(str(e).endswith(".npz") for e in listed):
+        raise UserError(
+            f"{ref_cache_dir} is already a spev_tpu npz cache — nothing to "
+            "convert; point training at it directly (its metadata.json is "
+            "the native format)"
+        )
+    os.makedirs(out_cache_dir, exist_ok=True)
+
+    files = []
     for entry in listed:
         src = entry if os.path.exists(entry) else os.path.join(
             ref_cache_dir, os.path.basename(entry)

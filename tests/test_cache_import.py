@@ -158,3 +158,20 @@ def test_monolithic_alias_keys_and_loud_empty(tmp_path):
     torch.save({"utterances": [{"mel": torch.randn(4, 8)}]}, bad)
     with pytest.raises(UserError, match="every one of the 1"):
         import_monolithic_cache(bad, str(tmp_path / "out2"))
+
+
+def test_convert_cache_rejects_native_cache_cleanly(tmp_path):
+    """spev-convert cache on an already-native npz cache must give a clear
+    UserError, not a torch-zip traceback (found by use)."""
+    import json as _json
+
+    from spev_tpu.data.cache_import import import_reference_cache
+    from spev_tpu.errors import UserError
+
+    src = tmp_path / "native"
+    src.mkdir()
+    (src / "u_00000.npz").write_bytes(b"not really npz")
+    with open(src / "metadata.json", "w") as f:
+        _json.dump({"files": ["u_00000.npz"], "stats": {}, "vocab": []}, f)
+    with pytest.raises(UserError, match="already a spev_tpu npz cache"):
+        import_reference_cache(str(src), str(tmp_path / "out"))
