@@ -111,6 +111,17 @@ def make_handler(synth, lock: "threading.Lock | None" = None, batcher=None):
             text = req.get("text", "")
             kw = {}
             if "emotion" in req:
+                # the CLIs validate emotion via argparse choices; the HTTP
+                # surface must reject typos too — ProsodyPolicy.get_knobs
+                # silently falls back to neutral (reference semantics),
+                # which over HTTP would mask the client's mistake
+                if req["emotion"] not in policy.styles:
+                    from spev_tpu.errors import UserError
+
+                    raise UserError(
+                        f"unknown emotion {req['emotion']!r}; choose from "
+                        f"{sorted(policy.styles)}"
+                    )
                 knobs = policy.get_knobs(req["emotion"])
                 kw = dict(
                     breathiness=knobs["breathiness"], roughness=knobs["roughness"],
@@ -192,8 +203,11 @@ def make_handler(synth, lock: "threading.Lock | None" = None, batcher=None):
                     self.log_message("stream aborted: %s: %s", type(e).__name__, e)
                     self.close_connection = True
                     return
+                from spev_tpu.errors import UserError
+
+                status = 400 if isinstance(e, (UserError, ValueError, KeyError)) else 500
                 try:
-                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                    self._json(status, {"error": f"{type(e).__name__}: {e}"})
                 except Exception:
                     pass  # socket already broken; nothing to report
 

@@ -238,3 +238,18 @@ def test_coalescing_batcher_matches_solo(tmp_path):
         # expected envelope (exactness across FRAME buckets at equal batch
         # size is asserted in test_synthesize_many_adaptive_buckets)
         np.testing.assert_allclose(out[i][1], solo[0][1], atol=5e-4)
+
+
+def test_unknown_emotion_is_400(server):
+    """A typo'd emotion must 400 with the valid choices, not silently fall
+    back to neutral knobs (found by live-driving the HTTP surface)."""
+    import json as _json
+
+    req = urllib.request.Request(
+        server + "/synthesize",
+        data=_json.dumps({"text": "x", "emotion": "joyful-typo"}).encode(),
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req)
+    assert e.value.code == 400
+    assert "unknown emotion" in e.value.read().decode()
