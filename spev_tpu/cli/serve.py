@@ -47,6 +47,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from spev_tpu.errors import UserError
+
 
 def _wav_bytes(audio: np.ndarray, sr: int = 22050) -> bytes:
     buf = io.BytesIO()
@@ -116,8 +118,6 @@ def make_handler(synth, lock: "threading.Lock | None" = None, batcher=None):
                 # silently falls back to neutral (reference semantics),
                 # which over HTTP would mask the client's mistake
                 if req["emotion"] not in policy.styles:
-                    from spev_tpu.errors import UserError
-
                     raise UserError(
                         f"unknown emotion {req['emotion']!r}; choose from "
                         f"{sorted(policy.styles)}"
@@ -203,8 +203,6 @@ def make_handler(synth, lock: "threading.Lock | None" = None, batcher=None):
                     self.log_message("stream aborted: %s: %s", type(e).__name__, e)
                     self.close_connection = True
                     return
-                from spev_tpu.errors import UserError
-
                 status = 400 if isinstance(e, (UserError, ValueError, KeyError)) else 500
                 try:
                     self._json(status, {"error": f"{type(e).__name__}: {e}"})

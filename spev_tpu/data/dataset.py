@@ -127,18 +127,12 @@ class FeatureExtractor:
         n = ((len(y) + _SIG_BUCKET - 1) // _SIG_BUCKET) * _SIG_BUCKET
         return np.pad(y.astype(np.float32), (0, n - len(y))), n
 
-    @staticmethod
-    def _fetch(*arrays):
-        """Overlap the device->host copies (utils.platform.fetch_overlapped):
-        sequential np.asarray round trips dominated per-utterance cost."""
-        return fetch_overlapped(*arrays)
-
     def full_features(self, y: np.ndarray):
         """(mel (n_mels, T), f0, voiced_prob, log_rms, centroid) with frame
         counts trimmed to the true signal length."""
         a = self.audio
         ypad, n = self._bucket(y)
-        mel, f0, vprob, rms, cent = self._fetch(*self._get_full(n)(jnp.asarray(ypad)))
+        mel, f0, vprob, rms, cent = fetch_overlapped(*self._get_full(n)(jnp.asarray(ypad)))
         t = 1 + len(y) // a.hop_length
         return (
             mel[:, :t],
@@ -150,7 +144,7 @@ class FeatureExtractor:
 
     def stats_features(self, y: np.ndarray):
         ypad, n = self._bucket(y)
-        f0, rms, cent = self._fetch(*self._get_stats(n)(jnp.asarray(ypad)))
+        f0, rms, cent = fetch_overlapped(*self._get_stats(n)(jnp.asarray(ypad)))
         t256 = 1 + len(y) // self.audio.hop_length
         t512 = 1 + len(y) // 512
         return f0[:t512], rms[:t256], cent[:t256]

@@ -503,6 +503,19 @@ class Synthesizer:
             speaker_id=speaker_id, vad=vad,
         ))
 
+    def _update_fpp(self, obs: float, escalated: bool) -> None:
+        """Track the frames-per-phoneme estimate from an observed worst-row
+        ratio.  ONE-SIDED on escalation: jump straight to the observation
+        (+10% headroom) so a mismatched checkpoint pays the
+        saturate→escalate double synthesis at most once; downward drift
+        (over-allocation) relaxes via the EMA.  Locked: concurrent server
+        threads must not lose an upward jump."""
+        with self._fpp_lock:
+            if escalated:
+                self._fpp = max(self._fpp, obs * 1.1, 1.0)
+            else:
+                self._fpp = max(0.7 * self._fpp + 0.3 * obs * 1.1, 1.0)
+
     def _ids_dispatch(
         self,
         ids: np.ndarray,
@@ -586,13 +599,8 @@ class Synthesizer:
             if L < M_ac or M_ac == buckets[-1]:
                 break
         if frame_bucket is None and L < M_ac:
-            d_sc = max(pend["d_scale"], 0.1)
-            obs = L / max(n_ph, 1) / d_sc
-            with self._fpp_lock:
-                if M_ac > buckets[0]:  # escalated: one-sided jump (cf. synthesize_many)
-                    self._fpp = max(self._fpp, obs * 1.1, 1.0)
-                else:
-                    self._fpp = max(0.7 * self._fpp + 0.3 * obs * 1.1, 1.0)
+            obs = L / max(n_ph, 1) / max(pend["d_scale"], 0.1)
+            self._update_fpp(obs, escalated=M_ac > buckets[0])
         M_voc = pick_bucket(L, self.frame_buckets)
         # re-bucket the mel for the vocoder (floor padding ≈ silence; the
         # HiFi-GAN path additionally masks by mel_len for exact parity)
@@ -744,22 +752,12 @@ class Synthesizer:
                     ids_b, lens, frame_bucket=M_group, **g_controls
                 )
             # calibrate the frames/phoneme estimate from unsaturated rows
-            # (saturated rows are truncated, so their ratio understates).
-            # The update is ONE-SIDED on escalation: jump straight to the
-            # observed worst-row ratio (+10% headroom) so a mismatched
-            # checkpoint pays the saturate→escalate double synthesis at
-            # most once, not for several EMA-crawl batches; downward
-            # drift (over-allocation) relaxes via the EMA.
+            # (saturated rows are truncated, so their ratio understates)
             ok = mel_len < M_group
             if frame_bucket is None and ok.any():
                 d_scale = float(np.max(g_controls.get("duration_scale", 1.0)))
                 obs = float(np.max(mel_len[ok] / np.maximum(lens[ok], 1)))
-                obs /= max(d_scale, 0.1)
-                with self._fpp_lock:
-                    if escalated:
-                        self._fpp = max(self._fpp, obs * 1.1, 1.0)
-                    else:
-                        self._fpp = max(0.7 * self._fpp + 0.3 * obs * 1.1, 1.0)
+                self._update_fpp(obs / max(d_scale, 0.1), escalated=escalated)
             for row, i in enumerate(group):
                 L = int(mel_len[row])
                 results[i] = (wav[row, : L * hop], mel[row, :L])

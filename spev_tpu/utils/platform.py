@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import jax
+import numpy as np
 
 
 def on_tpu() -> bool:
@@ -22,8 +23,6 @@ def fetch_overlapped(*arrays):
     sequentially costs N round trips.  Starting every copy first
     (``copy_to_host_async``) overlaps them.  Returns a list of np.ndarray.
     """
-    import numpy as np
-
     for a in arrays:
         if hasattr(a, "copy_to_host_async"):
             a.copy_to_host_async()

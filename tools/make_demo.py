@@ -12,11 +12,12 @@ Writes: {utt}_gt.wav, {utt}_synth.wav, {utt}_mels.png per demo utterance
         + demo_metrics.json (per-utterance MCD, final val dashboard).
 """
 
+import glob
 import json
 import os
+import re
 import shutil
 import sys
-import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -32,41 +33,19 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 
-from spev_tpu.config import ModelConfig, SpevConfig, TrainConfig  # noqa: E402
-from spev_tpu.data.batching import BucketBatcher, train_val_split  # noqa: E402
-from spev_tpu.data.dataset import SpevDataset  # noqa: E402
-from spev_tpu.data.synthetic import generate_formant_corpus  # noqa: E402
+from tools.demo_common import build_quality_setup  # noqa: E402
 from spev_tpu.diag.plots import save_comparison_plot  # noqa: E402
 from spev_tpu.diag.quality import mel_cepstral_distortion  # noqa: E402
-from spev_tpu.text.vocab import Vocab  # noqa: E402
-from spev_tpu.train.trainer import Trainer  # noqa: E402
 from spev_tpu.utils.wavio import write_wav  # noqa: E402
 
 
 def main(epochs: int = 150, out_dir: str = "docs/demo") -> None:
-    work = tempfile.mkdtemp(prefix="spev_demo_")
-    root, cache = os.path.join(work, "corpus"), os.path.join(work, "cache")
-    tg_dir = generate_formant_corpus(root, n_utterances=120, seed=0)
-    ds = SpevDataset(root, textgrid_dir=tg_dir, cache_dir=cache,
-                     g2p_backend="rules", stats_sample=60)
-    vocab = Vocab(ds.vocab)
-    cfg = SpevConfig(
-        model=ModelConfig(vocab_size=len(vocab), embed_dim=96, hidden_dim=96,
-                          n_mels=80, max_phonemes=32, max_frames=256,
-                          vp_output_norm=False),
-        train=TrainConfig(batch_size=16, warmup_steps=50, epochs=epochs,
-                          warmup_epochs=2, learning_rate=2e-3),
-    )
-    tr_idx, va_idx = train_val_split(len(ds), 0.1, seed=0)
-    trainer = Trainer(cfg, vocab, ds.stats, ckpt_dir=os.path.join(work, "ck"),
-                      log_dir=os.path.join(work, "logs"))
-    bt = BucketBatcher(ds, vocab, batch_size=16, phoneme_buckets=(32,),
-                       frame_buckets=(256,), indices=tr_idx)
-    bv = BucketBatcher(ds, vocab, batch_size=16, phoneme_buckets=(32,),
-                       frame_buckets=(256,), indices=va_idx)
+    s = build_quality_setup(epochs)
+    ds, trainer, va_idx = s.ds, s.trainer, s.va_idx
+    root, cfg = s.corpus_root, s.cfg
     for epoch in range(epochs):
-        m = trainer.train_epoch(bt.epoch(epoch))
-        val = trainer.validate(bv.epoch(0))
+        m = trainer.train_epoch(s.bt.epoch(epoch))
+        val = trainer.validate(s.bv.epoch(0))
         if epoch % 10 == 0 or epoch == epochs - 1:
             q = trainer.last_quality
             print(f"epoch {epoch}: loss {m['train_loss']:.3f} val {val:.3f} "
@@ -97,13 +76,9 @@ def main(epochs: int = 150, out_dir: str = "docs/demo") -> None:
         # 'u_{i:05d}.npz' where i indexes the dataset's SORTED RECURSIVE
         # wav glob — pairing by position among surviving entries would
         # silently mismatch gt and synth whenever any utterance is skipped
-        import re as _re
-
-        wav_i = int(_re.match(r"u_(\d+)\.npz$", ds.files[idx]).group(1))
-        import glob as _glob
-
-        all_wavs = sorted(_glob.glob(os.path.join(os.path.abspath(root),
-                                                  "**", "*.wav"), recursive=True))
+        wav_i = int(re.match(r"u_(\d+)\.npz$", ds.files[idx]).group(1))
+        all_wavs = sorted(glob.glob(os.path.join(os.path.abspath(root),
+                                                 "**", "*.wav"), recursive=True))
         src_wav = all_wavs[wav_i]
         shutil.copy(src_wav, os.path.join(out_dir, f"{name}_gt.wav"))
         write_wav(os.path.join(out_dir, f"{name}_synth.wav"),

@@ -32,39 +32,15 @@ jax.config.update("jax_platforms", "cpu")  # trainable on CPU; TPU not needed
 
 import numpy as np  # noqa: E402
 
-from spev_tpu.config import ModelConfig, SpevConfig, TrainConfig  # noqa: E402
-from spev_tpu.data.batching import BucketBatcher, train_val_split  # noqa: E402
-from spev_tpu.data.dataset import SpevDataset  # noqa: E402
-from spev_tpu.data.synthetic import generate_formant_corpus  # noqa: E402
-from spev_tpu.text.vocab import Vocab  # noqa: E402
-from spev_tpu.train.trainer import Trainer  # noqa: E402
+from tools.demo_common import build_quality_setup  # noqa: E402
 
 
 def main(epochs: int = 150) -> None:
-    work = tempfile.mkdtemp(prefix="spev_traj_")
-    root, cache = os.path.join(work, "corpus"), os.path.join(work, "cache")
-    tg_dir = generate_formant_corpus(root, n_utterances=120, seed=0)
-    ds = SpevDataset(root, textgrid_dir=tg_dir, cache_dir=cache,
-                     g2p_backend="rules", stats_sample=60)
-    vocab = Vocab(ds.vocab)
-    cfg = SpevConfig(
-        model=ModelConfig(vocab_size=len(vocab), embed_dim=96, hidden_dim=96,
-                          n_mels=80, max_phonemes=32, max_frames=256,
-                          vp_output_norm=False),
-        train=TrainConfig(batch_size=16, warmup_steps=50, epochs=epochs,
-                          warmup_epochs=2, learning_rate=2e-3),
-    )
-    tr_idx, va_idx = train_val_split(len(ds), 0.1, seed=0)
-    trainer = Trainer(cfg, vocab, ds.stats, ckpt_dir=os.path.join(work, "ck"),
-                      log_dir=os.path.join(work, "logs"))
-    bt = BucketBatcher(ds, vocab, batch_size=16, phoneme_buckets=(32,),
-                       frame_buckets=(256,), indices=tr_idx)
-    bv = BucketBatcher(ds, vocab, batch_size=16, phoneme_buckets=(32,),
-                       frame_buckets=(256,), indices=va_idx)
+    s = build_quality_setup(epochs)
     for epoch in range(epochs):
-        m = trainer.train_epoch(bt.epoch(epoch))
-        val = trainer.validate(bv.epoch(0))
-        q = trainer.last_quality
+        m = s.trainer.train_epoch(s.bt.epoch(epoch))
+        val = s.trainer.validate(s.bv.epoch(0))
+        q = s.trainer.last_quality
         print(json.dumps({
             "epoch": epoch,
             "loss": round(float(m["train_loss"]), 4),
