@@ -36,6 +36,18 @@ def cli_guard(fn):
     return wrapper
 
 
+def add_cache_flags(p) -> None:
+    """Dataset-cache flags shared by the training CLIs.  ``--force_rebuild``
+    reproduces the reference's delete-cache-per-construction default
+    (`/root/reference/spev_real_metrics.py:283-289`); here rebuilds are
+    opt-in because the cache is the expensive one-time pass."""
+    p.add_argument("--cache_dir", type=str, default="cache_spev",
+                   help="feature-cache directory (npz + metadata.json)")
+    p.add_argument("--force_rebuild", action="store_true",
+                   help="delete and rebuild the feature cache (the "
+                        "reference's default behavior)")
+
+
 def run_training(args, warmup_epochs: int = 0, model_overrides: Optional[dict] = None) -> None:
     """Shared train driver for the real_metrics / spev_tts / spev_advanced
     CLIs: dataset build → 95/5 split → bucketed batches → Trainer epochs

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import argparse
 
-from spev_tpu.cli.common import cli_guard, run_training, write_outputs
+from spev_tpu.cli.common import add_cache_flags, cli_guard, run_training, write_outputs
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -15,6 +15,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_dir", type=str, default="data")
     p.add_argument("--textgrid_dir", type=str, help="Path to MFA .TextGrid files")
     p.add_argument("--name", type=str, default="run_stable")
+    add_cache_flags(p)
     p.add_argument("--resume", type=str)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=16)

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import argparse
 
-from spev_tpu.cli.common import cli_guard, run_training, write_outputs
+from spev_tpu.cli.common import add_cache_flags, cli_guard, run_training, write_outputs
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -22,6 +22,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_dir", type=str, default="data/training_data")
     p.add_argument("--textgrid_dir", type=str, default="data/textgrid_data")
     p.add_argument("--name", type=str, default="spev_advanced")
+    add_cache_flags(p)
     p.add_argument("--resume", type=str)
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--batch_size", type=int, default=16)

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import argparse
 
-from spev_tpu.cli.common import cli_guard, run_training, write_outputs
+from spev_tpu.cli.common import add_cache_flags, cli_guard, run_training, write_outputs
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -18,6 +18,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hifigan_dir", type=str, default="hifi-gan")
     p.add_argument("--name", type=str, default="spev_tts")
     p.add_argument("--resume", type=str)
+    add_cache_flags(p)
     p.add_argument("--warmup_epochs", type=int, default=10,
                    help="duration-only epochs before full training")
     p.add_argument("--reference_predictors", action="store_true",

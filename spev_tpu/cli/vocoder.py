@@ -43,6 +43,12 @@ def main(argv=None) -> None:
     p.add_argument("--scales", type=int, default=3, help="MSD scales")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--save_every", type=int, default=1000)
+    p.add_argument("--precision", default="high", choices=["high", "default"],
+                   help="matmul/conv precision for the GAN step: 'high' = "
+                        "bf16x3 (parity-grade); 'default' = single-pass bf16 "
+                        "(~2x faster; upstream HiFi-GAN trains under fp16 AMP "
+                        "so GAN training tolerates it — f32 params/optimizer "
+                        "are kept either way)")
     args = p.parse_args(argv)
 
     from spev_tpu.utils.cache import enable_compilation_cache
@@ -102,33 +108,43 @@ def main(argv=None) -> None:
     audio_cache = {}
 
     def load(path):
+        # full-utterance mel computed ONCE per file; batches then crop it
+        # host-side on hop boundaries.  The per-crop mel device call this
+        # replaces cost one relay round trip per batch ITEM (16 × ~45 ms
+        # RTT per batch — 6× the whole GAN step at 'default' precision);
+        # cropping the full mel also gives edge frames their true sample
+        # context instead of the crop's zero padding.
         if path not in audio_cache:
             y, sr = native.read_wav(path)
             if sr != audio.sample_rate:
                 from spev_tpu.utils.wavio import resample_linear
 
                 y = resample_linear(y, sr, audio.sample_rate)
-            audio_cache[path] = y
+            mel = np.asarray(fx.full_features(y)[0], np.float32).T  # (T, n_mels)
+            audio_cache[path] = (y, mel)
         return audio_cache[path]
 
     def batch():
         wav_crops, mel_crops = [], []
         while len(wav_crops) < args.batch_size:
-            y = load(rng.choice(wavs))
+            y, mel_full = load(rng.choice(wavs))
             if len(y) < seg + hop:
                 continue
             start = rng.randrange(0, len(y) - seg) // hop * hop
-            crop = y[start : start + seg]
-            mel = fx.full_features(crop)[0].T[: args.segment_frames]  # (T, n_mels)
+            f0 = start // hop
+            mel = mel_full[f0 : f0 + args.segment_frames]
             if mel.shape[0] < args.segment_frames:
                 continue
-            wav_crops.append(crop)
+            wav_crops.append(y[start : start + seg])
             mel_crops.append(mel)
         return (
             jnp.asarray(np.stack(mel_crops), jnp.float32),
             jnp.asarray(np.stack(wav_crops), jnp.float32),
         )
 
+    from spev_tpu.models import modules
+
+    modules.set_matmul_precision(args.precision)
     periods = tuple(int(x) for x in args.periods.split(",") if x.strip())
     state = init_vocoder_train_state(jax.random.PRNGKey(0), cfg, gen_params=gen_params,
                                      periods=periods, n_scales=args.scales)

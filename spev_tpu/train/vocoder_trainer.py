@@ -150,6 +150,10 @@ def make_vocoder_train_step(
                    "skipped": 1.0 - ok.astype(jnp.float32), **aux}
         return state, metrics
 
+    # expose the two jitted graphs for profiling/MFU accounting
+    # (tools/tpu_vocoder_profile.py reads compiled cost_analysis off them)
+    step.d_step = d_step
+    step.g_step = g_step
     return step
 
 

@@ -91,6 +91,50 @@ def test_vocoder_training_improves_mel():
     assert mels_l1[-1] < mels_l1[0]  # mel reconstruction improves
 
 
+def test_vocoder_step_default_precision_trains():
+    """The GAN step at 'default' (single-pass bf16) matmul precision — the
+    fast vocoder-training mode (--precision default) — stays finite and
+    improves mel reconstruction, and its losses start close to the
+    parity-grade graph's (same init, same batch)."""
+    from spev_tpu.models import modules
+
+    audio = AudioConfig()
+    hop = TINY.hop_recovery
+    T = 16
+    t = np.arange(T * hop) / audio.sample_rate
+    wav = (0.4 * np.sin(2 * np.pi * 180 * t)).astype(np.float32)[None]
+    from spev_tpu.ops.stft import log_mel_spectrogram
+
+    mel = np.asarray(
+        log_mel_spectrogram(jnp.asarray(wav[0]), fmax=audio.sample_rate / 2)
+    ).T[None, :T]
+
+    def fresh_state():
+        s = init_vocoder_train_state(jax.random.PRNGKey(0), TINY)
+        s = s._replace(disc_params=init_discriminators(
+            jax.random.PRNGKey(1), periods=(2,), n_scales=1))
+        from spev_tpu.train.vocoder_trainer import make_vocoder_optimizer
+
+        return s._replace(disc_opt=make_vocoder_optimizer().init(s.disc_params))
+
+    modules.set_matmul_precision("high")
+    _, m_high = make_vocoder_train_step(TINY, audio)(
+        fresh_state(), jnp.asarray(mel), jnp.asarray(wav))
+
+    modules.set_matmul_precision("default")
+    step = make_vocoder_train_step(TINY, audio)
+    state = fresh_state()
+    mels_l1 = []
+    for _ in range(4):
+        state, m = step(state, jnp.asarray(mel), jnp.asarray(wav))
+        assert float(m["skipped"]) == 0.0
+        mels_l1.append(float(m["g_mel"]))
+    assert all(np.isfinite(v) for v in mels_l1)
+    assert mels_l1[-1] < mels_l1[0]
+    # first-step losses agree with the parity graph to bf16 tolerance
+    assert abs(mels_l1[0] - float(m_high["g_mel"])) < 0.05 * max(1.0, mels_l1[0])
+
+
 @pytest.mark.slow
 def test_vocoder_cli_end_to_end(tmp_path, monkeypatch):
     """spev-vocoder-train drives the full loop (wav glob -> prefetched
