@@ -72,14 +72,20 @@ def main():
         state = init_vocoder_train_state(jax.random.PRNGKey(0), cfg)
         step = make_vocoder_train_step(cfg, audio)
 
+        # FLOP counts first: d_step/g_step donate their state, so lower()
+        # must see it before any execution consumes its buffers
+        d_fl = _compiled_flops(step.d_step, state, mel, wav)
+        g_fl = _compiled_flops(step.g_step, state, mel, wav)
+
         # warm both graphs, force a real fetch through the relay
         for _ in range(3):
             state, metrics = step(state, mel, wav)
         float(metrics["g_loss"])
 
-        def run(fn, unpack):
+        def run(fn, unpack, s):
+            """Time n_iter calls, threading the (donated) state; returns
+            (ms_per_call, final_state)."""
             t0 = time.perf_counter()
-            s = state
             for _ in range(args.n_iter):
                 out = fn(s, mel, wav)
                 s = unpack(out)
@@ -87,19 +93,16 @@ def main():
                 lambda x: np.asarray(x).sum() if hasattr(x, "shape") else x,
                 out[1],
             )
-            return (time.perf_counter() - t0) / args.n_iter * 1e3
+            return (time.perf_counter() - t0) / args.n_iter * 1e3, s
 
-        d_ms = run(step.d_step, lambda o: o[0])
-        g_ms = run(step.g_step, lambda o: o[0])
+        d_ms, state = run(step.d_step, lambda o: o[0], state)
+        g_ms, state = run(step.g_step, lambda o: o[0], state)
         t0 = time.perf_counter()
         s = state
         for _ in range(args.n_iter):
             s, metrics = step(s, mel, wav)
         float(metrics["g_loss"])
         full_ms = (time.perf_counter() - t0) / args.n_iter * 1e3
-
-        d_fl = _compiled_flops(step.d_step, state, mel, wav)
-        g_fl = _compiled_flops(step.g_step, state, mel, wav)
         mfu = None
         if peak and d_fl and g_fl:
             mfu = (d_fl + g_fl) / (full_ms / 1e3) / peak
