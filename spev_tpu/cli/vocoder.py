@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 
 from spev_tpu.cli.common import cli_guard
+from spev_tpu.errors import UserError
 import glob
 import os
 import random
@@ -43,12 +44,15 @@ def main(argv=None) -> None:
     p.add_argument("--scales", type=int, default=3, help="MSD scales")
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--save_every", type=int, default=1000)
-    p.add_argument("--precision", default="high", choices=["high", "default"],
-                   help="matmul/conv precision for the GAN step: 'high' = "
-                        "bf16x3 (parity-grade); 'default' = single-pass bf16 "
-                        "(~2x faster; upstream HiFi-GAN trains under fp16 AMP "
-                        "so GAN training tolerates it — f32 params/optimizer "
-                        "are kept either way)")
+    p.add_argument("--precision", default="default", choices=["high", "default"],
+                   help="matmul/conv precision for the GAN step: 'default' = "
+                        "single-pass bf16 (the recommended mode — ~2.8x faster, "
+                        "and upstream HiFi-GAN itself trains under fp16 AMP; "
+                        "f32 params/optimizer are kept either way); 'high' = "
+                        "bf16x3 parity-grade matmuls")
+    p.add_argument("--cache_files", type=int, default=1000,
+                   help="max files held in the in-RAM wav+mel cache "
+                        "(FIFO eviction; ~1 MB per second of audio)")
     args = p.parse_args(argv)
 
     from spev_tpu.utils.cache import enable_compilation_cache
@@ -107,36 +111,51 @@ def main(argv=None) -> None:
     rng = random.Random(0)
     audio_cache = {}
 
+    too_short: set = set()
+
     def load(path):
-        # full-utterance mel computed ONCE per file; batches then crop it
-        # host-side on hop boundaries.  The per-crop mel device call this
-        # replaces cost one relay round trip per batch ITEM (16 × ~45 ms
-        # RTT per batch — 6× the whole GAN step at 'default' precision);
-        # cropping the full mel also gives edge frames their true sample
-        # context instead of the crop's zero padding.
+        # full-utterance mel computed ONCE per file (mel-only kernel — no
+        # pyin/RMS/centroid); batches then crop it host-side on hop
+        # boundaries.  The per-crop mel device call this replaces cost one
+        # relay round trip per batch ITEM (16 × ~45 ms RTT per batch — 6×
+        # the whole GAN step at 'default' precision); cropping the full mel
+        # also gives edge frames their true sample context instead of the
+        # crop's zero padding.  Files too short for one crop skip
+        # extraction entirely (mel=None).
         if path not in audio_cache:
             y, sr = native.read_wav(path)
             if sr != audio.sample_rate:
                 from spev_tpu.utils.wavio import resample_linear
 
                 y = resample_linear(y, sr, audio.sample_rate)
-            mel = np.asarray(fx.full_features(y)[0], np.float32).T  # (T, n_mels)
+            mel = None
+            if len(y) >= seg + hop:
+                mel = np.asarray(fx.mel(y), np.float32).T  # (T, n_mels)
+            if len(audio_cache) >= args.cache_files:
+                audio_cache.pop(next(iter(audio_cache)))  # FIFO eviction
             audio_cache[path] = (y, mel)
         return audio_cache[path]
 
     def batch():
         wav_crops, mel_crops = [], []
         while len(wav_crops) < args.batch_size:
-            y, mel_full = load(rng.choice(wavs))
-            if len(y) < seg + hop:
-                continue
-            start = rng.randrange(0, len(y) - seg) // hop * hop
-            f0 = start // hop
-            mel = mel_full[f0 : f0 + args.segment_frames]
-            if mel.shape[0] < args.segment_frames:
-                continue
-            wav_crops.append(y[start : start + seg])
-            mel_crops.append(mel)
+            path = rng.choice(wavs)
+            if path not in too_short:
+                y, mel_full = load(path)
+                if mel_full is not None:
+                    start = rng.randrange(0, len(y) - seg) // hop * hop
+                    mel = mel_full[start // hop :][: args.segment_frames]
+                    if mel.shape[0] >= args.segment_frames:
+                        wav_crops.append(y[start : start + seg])
+                        mel_crops.append(mel)
+                        continue
+                too_short.add(path)
+            if len(too_short) == len(wavs):
+                raise UserError(
+                    f"no wav under {args.data_dir} is long enough for one "
+                    f"{seg + hop}-sample training segment; lower "
+                    f"--segment_frames or provide longer audio"
+                )
         return (
             jnp.asarray(np.stack(mel_crops), jnp.float32),
             jnp.asarray(np.stack(wav_crops), jnp.float32),

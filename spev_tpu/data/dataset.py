@@ -61,6 +61,7 @@ class FeatureExtractor:
         self.audio = audio
         self._full = {}
         self._stats_fn = {}
+        self._mel_jit = None
         self.use_pallas = on_tpu() if use_pallas == "auto" else bool(use_pallas)
 
     def _mel_fn(self, a):
@@ -126,6 +127,16 @@ class FeatureExtractor:
     def _bucket(y: np.ndarray):
         n = ((len(y) + _SIG_BUCKET - 1) // _SIG_BUCKET) * _SIG_BUCKET
         return np.pad(y.astype(np.float32), (0, n - len(y))), n
+
+    def mel(self, y: np.ndarray) -> np.ndarray:
+        """Mel only — identical to ``full_features(y)[0]`` but skips the
+        pyin/RMS/centroid kernels (the GAN vocoder trainer needs just the
+        conditioning mel; pyin is the extractor's most expensive kernel)."""
+        if self._mel_jit is None:
+            self._mel_jit = jax.jit(self._mel_fn(self.audio))
+        ypad, _ = self._bucket(y)
+        m = np.asarray(self._mel_jit(jnp.asarray(ypad)))
+        return m[:, : 1 + len(y) // self.audio.hop_length]
 
     def full_features(self, y: np.ndarray):
         """(mel (n_mels, T), f0, voiced_prob, log_rms, centroid) with frame

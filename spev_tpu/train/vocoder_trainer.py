@@ -91,32 +91,34 @@ def make_vocoder_train_step(
     """
     opt = make_vocoder_optimizer()
 
-    def _disc_real_fake(disc_params, real, fake):
-        """Run every sub-discriminator ONCE on concat([real, fake]) and
-        split the outputs.  The discs are plain convs (no normalization
-        mixing samples), so this is mathematically identical to two
-        separate passes but halves the conv dispatches and doubles the
-        batch rows each conv tiles onto the MXU."""
+    def d_loss_fn(disc_params, real, fake):
+        # D loss: every sub-discriminator runs ONCE on concat([real, fake]).
+        # The discs are plain convs (no normalization mixing samples), so
+        # this is mathematically identical to two separate passes but
+        # halves the conv dispatches and doubles the rows each conv tiles
+        # onto the MXU.  The backward here is w.r.t. disc WEIGHTS, which
+        # both halves feed anyway — batching adds no extra grad work.
         B = real.shape[0]
         outs = apply_discriminators(
             disc_params, jnp.concatenate([real, fake], axis=0), periods=periods
         )
-        return [
-            ((l[:B], [f[:B] for f in feats]), (l[B:], [f[B:] for f in feats]))
-            for l, feats in outs
-        ]
-
-    def d_loss_fn(disc_params, real, fake):
         loss = 0.0
-        for (lr_, _), (lf, _) in _disc_real_fake(disc_params, real, fake):
-            loss = loss + jnp.mean((1.0 - lr_) ** 2) + jnp.mean(lf**2)
+        for l, _ in outs:
+            loss = loss + jnp.mean((1.0 - l[:B]) ** 2) + jnp.mean(l[B:] ** 2)
         return loss
 
     def g_loss_fn(gen_params, disc_params, mel, real):
         fake = apply_hifigan(gen_params, cfg, mel)
+        # G loss: real and fake passes stay SEPARATE.  The grad here is
+        # w.r.t. gen_params only, and the real pass doesn't depend on them,
+        # so JAX builds no backward for it — a concat would drag the real
+        # half through every disc conv-transpose (input cotangents computed
+        # for 2B rows, half discarded at the concat transpose).
+        outs_r = apply_discriminators(disc_params, real, periods=periods)
+        outs_f = apply_discriminators(disc_params, fake, periods=periods)
         adv = 0.0
         fm = 0.0
-        for (_, fr), (lf, ff) in _disc_real_fake(disc_params, real, fake):
+        for (_, fr), (lf, ff) in zip(outs_r, outs_f):
             adv = adv + jnp.mean((1.0 - lf) ** 2)
             for a, b in zip(fr, ff):
                 fm = fm + jnp.mean(jnp.abs(a - b))

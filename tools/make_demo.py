@@ -7,9 +7,13 @@ produces *audio that tracks its targets* is: train on the synthetic corpus
 (docs/QUALITY.md setup), synthesize VALIDATION utterances from their
 phoneme sequences, and commit ground-truth vs synthesized wav + mel pairs.
 
-Usage:  timeout 3600 python tools/make_demo.py [epochs] [out_dir]
+Usage:  timeout 3600 python tools/make_demo.py [epochs] [out_dir] \
+            [--gan_checkpoint gen_*.spev [--gan_config v3]]
 Writes: {utt}_gt.wav, {utt}_synth.wav, {utt}_mels.png per demo utterance
-        + demo_metrics.json (per-utterance MCD, final val dashboard).
+        + demo_metrics.json (per-utterance MCD, final val dashboard);
+        with --gan_checkpoint also {utt}_synth_gan.wav — the full
+        pipeline (trained acoustic model, free-running durations → the
+        in-framework-trained GAN vocoder).
 """
 
 import glob
@@ -39,7 +43,17 @@ from spev_tpu.diag.quality import mel_cepstral_distortion  # noqa: E402
 from spev_tpu.utils.wavio import write_wav  # noqa: E402
 
 
-def main(epochs: int = 150, out_dir: str = "docs/demo") -> None:
+def main(epochs: int = 150, out_dir: str = "docs/demo",
+         gan_checkpoint: str = None, gan_config: str = "v3") -> None:
+    gan_voc = None
+    if gan_checkpoint:
+        from spev_tpu.infer.vocoder import Vocoder
+        from spev_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator
+        from spev_tpu.train.checkpoint import load_params
+
+        params, _, _ = load_params(gan_checkpoint)
+        gcfg = HiFiGANConfig() if gan_config == "v1" else HiFiGANConfig.v3()
+        gan_voc = Vocoder(generator=HiFiGANGenerator(gcfg, params))
     s = build_quality_setup(epochs)
     ds, trainer, va_idx = s.ds, s.trainer, s.va_idx
     root, cfg = s.corpus_root, s.cfg
@@ -83,6 +97,10 @@ def main(epochs: int = 150, out_dir: str = "docs/demo") -> None:
         shutil.copy(src_wav, os.path.join(out_dir, f"{name}_gt.wav"))
         write_wav(os.path.join(out_dir, f"{name}_synth.wav"),
                   np.clip(wav, -1, 1), synth.audio.sample_rate)
+        if gan_voc is not None:
+            wav_gan = np.asarray(gan_voc.infer(mel))
+            write_wav(os.path.join(out_dir, f"{name}_synth_gan.wav"),
+                      np.clip(wav_gan, -1, 1), synth.audio.sample_rate)
         save_comparison_plot(mel_gt, mel, os.path.join(out_dir, f"{name}_mels.png"))
         T = min(len(mel), len(mel_gt))
         mcd = float(mel_cepstral_distortion(mel[:T], mel_gt[:T]))
@@ -98,5 +116,15 @@ def main(epochs: int = 150, out_dir: str = "docs/demo") -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 150,
-         sys.argv[2] if len(sys.argv) > 2 else "docs/demo")
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("epochs", nargs="?", type=int, default=150)
+    ap.add_argument("out_dir", nargs="?", default="docs/demo")
+    ap.add_argument("--gan_checkpoint", default=None,
+                    help="gen_*.spev from spev-vocoder-train; also writes "
+                         "{utt}_synth_gan.wav (full trained pipeline)")
+    ap.add_argument("--gan_config", default="v3", choices=["v1", "v3"])
+    a = ap.parse_args()
+    main(a.epochs, a.out_dir, gan_checkpoint=a.gan_checkpoint,
+         gan_config=a.gan_config)

@@ -45,6 +45,10 @@ def main():
         print(json.dumps({"error": "tpu_unavailable", **info}), flush=True)
         return 1
 
+    from spev_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # reruns must not repay the GAN-graph compiles
+
     import jax
     import jax.numpy as jnp
 
@@ -67,7 +71,7 @@ def main():
 
     peak = _peak_flops()
     rows = []
-    for prec in args.precisions.split(","):
+    for prec in (s.strip() for s in args.precisions.split(",") if s.strip()):
         modules.set_matmul_precision(prec)
         state = init_vocoder_train_state(jax.random.PRNGKey(0), cfg)
         step = make_vocoder_train_step(cfg, audio)
