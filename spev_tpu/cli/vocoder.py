@@ -53,6 +53,18 @@ def main(argv=None) -> None:
     p.add_argument("--cache_files", type=int, default=1000,
                    help="max files held in the in-RAM wav+mel cache "
                         "(FIFO eviction; ~1 MB per second of audio)")
+    p.add_argument("--gta_checkpoint", default=None,
+                   help="acoustic checkpoint (.spev/.pt): condition on its "
+                        "teacher-forced (ground-truth-aligned) predicted "
+                        "mels instead of gt mels — the upstream LJ_FT "
+                        "fine-tuning workflow whose result the reference "
+                        "downloads.  --data_dir must then be a training "
+                        "corpus ({id}.wav + {id}.txt [+ TextGrids])")
+    p.add_argument("--textgrid_dir", default=None,
+                   help="MFA TextGrids for the GTA corpus (optional)")
+    from spev_tpu.cli.common import add_cache_flags
+
+    add_cache_flags(p)
     args = p.parse_args(argv)
 
     from spev_tpu.utils.cache import enable_compilation_cache
@@ -107,6 +119,33 @@ def main(argv=None) -> None:
         raise FileNotFoundError(f"no wavs under {args.data_dir}")
     print(f"{len(wavs)} wavs; segment {seg} samples ({args.segment_frames} frames)")
 
+    gta_by_path = None
+    if args.gta_checkpoint:
+        # GTA mode: build the training dataset, teacher-force the acoustic
+        # model over it once, and condition every crop on the PREDICTED mel
+        # (frame-aligned with the gt waveform by construction)
+        import re
+
+        from spev_tpu.data.dataset import SpevDataset
+        from spev_tpu.infer.gta import compute_gta_mels
+
+        ds = SpevDataset(args.data_dir, textgrid_dir=args.textgrid_dir,
+                         cache_dir=args.cache_dir,
+                         force_rebuild=args.force_rebuild)
+        gta = compute_gta_mels(args.gta_checkpoint, ds)
+        gta_by_path = {}
+        for i, m in gta.items():
+            # ds.files[i] is 'u_{w:05d}.npz' where w indexes the dataset's
+            # sorted recursive wav glob (same glob as `wavs` above)
+            w = int(re.match(r"u_(\d+)\.npz$", ds.files[i]).group(1))
+            gta_by_path[wavs[w]] = np.ascontiguousarray(m)
+        wavs = [p for p in wavs if p in gta_by_path]
+        if not wavs:
+            raise UserError("GTA produced no usable utterances "
+                            "(all exceed the frame buckets?)")
+        print(f"GTA conditioning from {args.gta_checkpoint}: "
+              f"{len(wavs)} utterances")
+
     fx = FeatureExtractor(audio)
     rng = random.Random(0)
     audio_cache = {}
@@ -130,7 +169,10 @@ def main(argv=None) -> None:
                 y = resample_linear(y, sr, audio.sample_rate)
             mel = None
             if len(y) >= seg + hop:
-                mel = np.asarray(fx.mel(y), np.float32).T  # (T, n_mels)
+                if gta_by_path is not None:
+                    mel = gta_by_path[path]  # (T, n_mels), teacher-forced
+                else:
+                    mel = np.asarray(fx.mel(y), np.float32).T  # (T, n_mels)
             if len(audio_cache) >= args.cache_files:
                 audio_cache.pop(next(iter(audio_cache)))  # FIFO eviction
             audio_cache[path] = (y, mel)
