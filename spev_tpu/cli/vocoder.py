@@ -23,6 +23,77 @@ import random
 import numpy as np
 
 
+def make_crop_batcher(wavs, audio, segment_frames: int, batch_size: int,
+                      cache_files: int = 1000, gta_by_path=None,
+                      data_dir: str = "", seed: int = 0):
+    """Random fixed-length (mel, waveform) crop batches for GAN training.
+
+    Returns a zero-arg callable yielding ``(mel (B,F,M), wav (B,F·hop))``
+    numpy batches.  The full-utterance mel is computed ONCE per file
+    (mel-only kernel — no pyin/RMS/centroid); batches then crop it
+    host-side on hop boundaries.  A per-crop mel device call would cost
+    one relay round trip per batch ITEM (16 × ~45 ms RTT per batch — 6×
+    the whole GAN step at 'default' precision); cropping the full mel
+    also gives edge frames their true sample context instead of the
+    crop's zero padding.  Files too short for one crop skip extraction
+    entirely (mel=None).  With ``gta_by_path`` ({wav path: (T, n_mels)}),
+    crops condition on those teacher-forced mels instead of the ground
+    truth (GTA fine-tuning) — frame-aligned with the waveform crop by the
+    same hop arithmetic.
+    """
+    from spev_tpu.data.dataset import FeatureExtractor
+    from spev_tpu.utils import native
+
+    hop = audio.hop_length
+    seg = segment_frames * hop
+    fx = FeatureExtractor(audio)
+    rng = random.Random(seed)
+    audio_cache = {}
+    too_short: set = set()
+
+    def load(path):
+        if path not in audio_cache:
+            y, sr = native.read_wav(path)
+            if sr != audio.sample_rate:
+                from spev_tpu.utils.wavio import resample_linear
+
+                y = resample_linear(y, sr, audio.sample_rate)
+            mel = None
+            if len(y) >= seg + hop:
+                if gta_by_path is not None:
+                    mel = gta_by_path[path]  # (T, n_mels), teacher-forced
+                else:
+                    mel = np.asarray(fx.mel(y), np.float32).T  # (T, n_mels)
+            if len(audio_cache) >= cache_files:
+                audio_cache.pop(next(iter(audio_cache)))  # FIFO eviction
+            audio_cache[path] = (y, mel)
+        return audio_cache[path]
+
+    def batch():
+        wav_crops, mel_crops = [], []
+        while len(wav_crops) < batch_size:
+            path = rng.choice(wavs)
+            if path not in too_short:
+                y, mel_full = load(path)
+                if mel_full is not None:
+                    start = rng.randrange(0, len(y) - seg) // hop * hop
+                    mel = mel_full[start // hop :][:segment_frames]
+                    if mel.shape[0] >= segment_frames:
+                        wav_crops.append(y[start : start + seg])
+                        mel_crops.append(mel)
+                        continue
+                too_short.add(path)
+            if len(too_short) == len(wavs):
+                raise UserError(
+                    f"no wav under {data_dir} is long enough for one "
+                    f"{seg + hop}-sample training segment; lower "
+                    f"--segment_frames or provide longer audio"
+                )
+        return np.stack(mel_crops), np.stack(wav_crops)
+
+    return batch
+
+
 @cli_guard
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="spev-vocoder-train")
@@ -75,7 +146,6 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
 
     from spev_tpu.config import AudioConfig
-    from spev_tpu.data.dataset import FeatureExtractor
     from spev_tpu.diag.metrics import log_metrics
     from spev_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator
     from spev_tpu.train.vocoder_trainer import (
@@ -83,11 +153,9 @@ def main(argv=None) -> None:
         make_vocoder_train_step,
         save_generator,
     )
-    from spev_tpu.utils import native
 
     audio = AudioConfig()
-    hop = audio.hop_length
-    seg = args.segment_frames * hop
+    seg = args.segment_frames * audio.hop_length
 
     if args.config == "v1":
         cfg = HiFiGANConfig()
@@ -146,61 +214,17 @@ def main(argv=None) -> None:
         print(f"GTA conditioning from {args.gta_checkpoint}: "
               f"{len(wavs)} utterances")
 
-    fx = FeatureExtractor(audio)
-    rng = random.Random(0)
-    audio_cache = {}
-
-    too_short: set = set()
-
-    def load(path):
-        # full-utterance mel computed ONCE per file (mel-only kernel — no
-        # pyin/RMS/centroid); batches then crop it host-side on hop
-        # boundaries.  The per-crop mel device call this replaces cost one
-        # relay round trip per batch ITEM (16 × ~45 ms RTT per batch — 6×
-        # the whole GAN step at 'default' precision); cropping the full mel
-        # also gives edge frames their true sample context instead of the
-        # crop's zero padding.  Files too short for one crop skip
-        # extraction entirely (mel=None).
-        if path not in audio_cache:
-            y, sr = native.read_wav(path)
-            if sr != audio.sample_rate:
-                from spev_tpu.utils.wavio import resample_linear
-
-                y = resample_linear(y, sr, audio.sample_rate)
-            mel = None
-            if len(y) >= seg + hop:
-                if gta_by_path is not None:
-                    mel = gta_by_path[path]  # (T, n_mels), teacher-forced
-                else:
-                    mel = np.asarray(fx.mel(y), np.float32).T  # (T, n_mels)
-            if len(audio_cache) >= args.cache_files:
-                audio_cache.pop(next(iter(audio_cache)))  # FIFO eviction
-            audio_cache[path] = (y, mel)
-        return audio_cache[path]
+    make_batch = make_crop_batcher(
+        wavs, audio, args.segment_frames, args.batch_size,
+        cache_files=args.cache_files, gta_by_path=gta_by_path,
+        data_dir=args.data_dir,
+    )
 
     def batch():
-        wav_crops, mel_crops = [], []
-        while len(wav_crops) < args.batch_size:
-            path = rng.choice(wavs)
-            if path not in too_short:
-                y, mel_full = load(path)
-                if mel_full is not None:
-                    start = rng.randrange(0, len(y) - seg) // hop * hop
-                    mel = mel_full[start // hop :][: args.segment_frames]
-                    if mel.shape[0] >= args.segment_frames:
-                        wav_crops.append(y[start : start + seg])
-                        mel_crops.append(mel)
-                        continue
-                too_short.add(path)
-            if len(too_short) == len(wavs):
-                raise UserError(
-                    f"no wav under {args.data_dir} is long enough for one "
-                    f"{seg + hop}-sample training segment; lower "
-                    f"--segment_frames or provide longer audio"
-                )
+        mel_crops, wav_crops = make_batch()
         return (
-            jnp.asarray(np.stack(mel_crops), jnp.float32),
-            jnp.asarray(np.stack(wav_crops), jnp.float32),
+            jnp.asarray(mel_crops, jnp.float32),
+            jnp.asarray(wav_crops, jnp.float32),
         )
 
     from spev_tpu.models import modules

@@ -53,6 +53,40 @@ def test_gta_mels_align_with_ground_truth(corpus_ckpt):
         assert mels[i].min() >= -10.0 and mels[i].max() <= 2.0
 
 
+def test_crop_batcher_uses_gta_mels_not_gt(corpus_ckpt):
+    """The GAN step's losses cannot reveal mis-wired conditioning (a
+    fresh-init generator attenuates the mel input to ~1e-7 output scale),
+    so pin the wiring itself: with gta_by_path set, every mel crop must be
+    a slice of the TEACHER-FORCED mel, not of the ground-truth mel."""
+    import glob
+
+    from spev_tpu.cli.vocoder import make_crop_batcher
+    from spev_tpu.config import AudioConfig
+
+    root, cache, ds, cfg, ckpt = corpus_ckpt
+    audio = AudioConfig()
+    wavs = sorted(glob.glob(os.path.join(root, "*.wav")))
+    # synthetic teacher-forced stand-ins, clearly distinct from real mels
+    gta_by_path = {}
+    for w, path in enumerate(wavs):
+        T = ds.load_utterance(w)["mel"].shape[0]
+        gta_by_path[path] = np.full((T, 80), float(w) - 50.0, np.float32)
+
+    batch = make_crop_batcher(wavs, audio, segment_frames=8, batch_size=4,
+                              gta_by_path=gta_by_path)
+    mels, wavs_out = batch()
+    assert mels.shape == (4, 8, 80) and wavs_out.shape == (4, 8 * audio.hop_length)
+    # each crop row is constant at one of the stand-in values -> it came
+    # from gta_by_path; an fx.mel crop of a tone+noise wav never is
+    for row in mels:
+        assert row.std() == 0.0 and row[0, 0] <= -46.0
+
+    # and without gta_by_path the same batcher yields real extracted mels
+    batch_gt = make_crop_batcher(wavs, audio, segment_frames=8, batch_size=4)
+    mels_gt, _ = batch_gt()
+    assert all(row.std() > 0.0 for row in mels_gt)
+
+
 def test_gta_skips_overlong_utterances(corpus_ckpt):
     from spev_tpu.infer.gta import compute_gta_mels
 
