@@ -19,7 +19,13 @@ A dependency-free (stdlib http.server) endpoint over the compiled
         header (RIFF sizes 0xFFFFFFFF), PCM flushed clause-by-clause as
         each segment is synthesized (time-to-first-audio ≈ one clause
         instead of the full utterance); connection close ends the stream
-    GET  /healthz      → {"status": "ok", "vocoder": "hifigan"|"griffin-lim"}
+    GET  /healthz      → {"status": "ok", "vocoder": "hifigan"|"griffin-lim",
+                          "response_cache": {size, max, hits, misses}}
+
+Identical /synthesize requests (same text + controls) are served from an
+LRU response cache without touching the device (``--response_cache``,
+default 256 entries; synthesis is deterministic so the cached wav is
+bit-identical). Streaming requests are never cached.
 
 Graphs are compiled on first request per bucket and cached (use the
 persistent compilation cache to make cold starts fast across restarts).
@@ -78,15 +84,47 @@ def _pcm16(audio: np.ndarray) -> bytes:
     return (np.clip(audio, -1, 1) * 32767.0).astype("<i2").tobytes()
 
 
-def make_handler(synth, lock: "threading.Lock | None" = None, batcher=None):
+def make_handler(synth, lock: "threading.Lock | None" = None, batcher=None,
+                 response_cache: int = 0):
     # `lock` is accepted for signature compatibility but no longer guards
     # compute: graph get-or-create is locked inside Synthesizer, and device
     # dispatch is thread-safe (the chip serializes execution fairly), so
     # streams interleave instead of queueing behind each other.
     del lock
+    import collections
+    import threading
+
     from spev_tpu.agents.prosody import ProsodyPolicy
 
     policy = ProsodyPolicy()
+    # response cache: synthesis is deterministic per (text, controls), so
+    # identical /synthesize requests can serve the cached wav body without
+    # touching the device (the reference's deployment docs call for result
+    # caching at scale; here it is a server feature, not an external Redis)
+    cache: "collections.OrderedDict[str, bytes]" = collections.OrderedDict()
+    cache_lock = threading.Lock()
+    cache_stats = {"hits": 0, "misses": 0}
+
+    def cache_get(key: str):
+        if response_cache <= 0:
+            return None
+        with cache_lock:
+            body = cache.get(key)
+            if body is not None:
+                cache.move_to_end(key)
+                cache_stats["hits"] += 1
+            else:
+                cache_stats["misses"] += 1
+            return body
+
+    def cache_put(key: str, body: bytes):
+        if response_cache <= 0:
+            return
+        with cache_lock:
+            cache[key] = body
+            cache.move_to_end(key)
+            while len(cache) > response_cache:
+                cache.popitem(last=False)
 
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code: int, obj: dict):
@@ -99,11 +137,18 @@ def make_handler(synth, lock: "threading.Lock | None" = None, batcher=None):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {
+                health = {
                     "status": "ok",
                     "vocoder": "hifigan" if synth.vocoder.is_neural else "griffin-lim",
                     "vocab": len(synth.vocab),
-                })
+                }
+                if response_cache > 0:
+                    with cache_lock:
+                        health["response_cache"] = {
+                            "size": len(cache), "max": response_cache,
+                            **cache_stats,
+                        }
+                self._json(200, health)
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -161,19 +206,23 @@ def make_handler(synth, lock: "threading.Lock | None" = None, batcher=None):
                                               "endpoint; use /synthesize"})
                     return
                 if self.path == "/synthesize":
-                    if adv:
-                        from spev_tpu.infer.advanced_api import (
-                            synthesize_advanced_controls,
-                        )
+                    key = json.dumps({"text": text, **kw, **adv}, sort_keys=True)
+                    body = cache_get(key)
+                    if body is None:
+                        if adv:
+                            from spev_tpu.infer.advanced_api import (
+                                synthesize_advanced_controls,
+                            )
 
-                        wav, _ = synthesize_advanced_controls(
-                            synth, text, **{**kw, **adv}
-                        )
-                    elif batcher is not None:
-                        wav, _ = batcher.submit(text, **kw)
-                    else:
-                        wav, _ = synth.synthesize(text, **kw)
-                    body = _wav_bytes(wav, synth.audio.sample_rate)
+                            wav, _ = synthesize_advanced_controls(
+                                synth, text, **{**kw, **adv}
+                            )
+                        elif batcher is not None:
+                            wav, _ = batcher.submit(text, **kw)
+                        else:
+                            wav, _ = synth.synthesize(text, **kw)
+                        body = _wav_bytes(wav, synth.audio.sample_rate)
+                        cache_put(key, body)
                     self.send_response(200)
                     self.send_header("Content-Type", "audio/wav")
                     self.send_header("Content-Length", str(len(body)))
@@ -228,6 +277,10 @@ def main(argv=None) -> None:
     p.add_argument("--batch_window_ms", type=float, default=5.0,
                    help="how long to wait after the first queued request "
                         "for a batch to form")
+    p.add_argument("--response_cache", type=int, default=256,
+                   help="LRU-cache this many /synthesize responses keyed by "
+                        "(text, controls) — identical requests skip the "
+                        "device entirely (0 disables)")
     args = p.parse_args(argv)
 
     from spev_tpu.utils.cache import enable_compilation_cache
@@ -244,7 +297,8 @@ def main(argv=None) -> None:
                                     window_ms=args.batch_window_ms)
     server = ThreadingHTTPServer(
         (args.host, args.port),
-        make_handler(synth, batcher=batcher),
+        make_handler(synth, batcher=batcher,
+                     response_cache=args.response_cache),
     )
     print(f"spev-serve listening on http://{args.host}:{args.port} "
           f"(vocoder: {'hifigan' if synth.vocoder.is_neural else 'griffin-lim'}, "

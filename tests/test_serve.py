@@ -253,3 +253,40 @@ def test_unknown_emotion_is_400(server):
         urllib.request.urlopen(req)
     assert e.value.code == 400
     assert "unknown emotion" in e.value.read().decode()
+
+
+def test_response_cache_serves_identical_bytes_and_counts_hits(server, tmp_path_factory):
+    """With --response_cache, a repeated /synthesize request returns the
+    cached body (bit-identical) and /healthz reports the hit; a different
+    request is a miss.  Uses its own server so the cache starts empty."""
+    vocab = Vocab.build([chr(c) for c in range(ord("a"), ord("p"))] + [" "])
+    cfg = ModelConfig(vocab_size=len(vocab), embed_dim=32, hidden_dim=32, n_mels=80)
+    params = init_fastspeech2(jax.random.PRNGKey(0), cfg)
+    params["duration_predictor"]["output_norm"]["bias"] = jnp.asarray([1.2])
+    path = str(tmp_path_factory.mktemp("srvc") / "m.spev")
+    save_checkpoint(path, params, vocab=vocab.symbols, stats={})
+    synth = Synthesizer(path, hifigan_dir=None, model_cfg=cfg, g2p_backend="rules",
+                        phoneme_buckets=(64,), frame_buckets=(256,))
+    srv = ThreadingHTTPServer(("127.0.0.1", 0),
+                              make_handler(synth, response_cache=8))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        def post(payload):
+            req = urllib.request.Request(
+                base + "/synthesize", data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                return r.read()
+
+        b1 = post({"text": "hello", "pitch_scale": 1.1})
+        b2 = post({"text": "hello", "pitch_scale": 1.1})
+        assert b1 == b2  # served from cache, bit-identical
+        b3 = post({"text": "hello hello hello", "pitch_scale": 1.1})
+        assert b3 != b1  # different text -> different entry
+        with urllib.request.urlopen(base + "/healthz") as r:
+            health = json.loads(r.read())
+        rc = health["response_cache"]
+        assert rc == {"size": 2, "max": 8, "hits": 1, "misses": 2}
+    finally:
+        srv.shutdown()
