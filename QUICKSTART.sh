@@ -143,6 +143,11 @@ vocoder() {
     echo "Alternative (no download): train your own with"
     echo "  PYTHONPATH=. $PY -m spev_tpu.cli.vocoder --data_dir data/training_data \\"
     echo "      --out_dir vocoder_checkpoints/own"
+    echo "then reproduce the LJ_FT workflow itself (fine-tune on your trained"
+    echo "acoustic model's teacher-forced mels, closing the train/serve gap):"
+    echo "  PYTHONPATH=. $PY -m spev_tpu.cli.vocoder --data_dir data/training_data \\"
+    echo "      --finetune_from vocoder_checkpoints/own/gen_*.spev \\"
+    echo "      --gta_checkpoint checkpoints/run1/best.spev"
     return 1
   fi
 }
