@@ -1,0 +1,136 @@
+"""Objective quality evaluation of an acoustic checkpoint on a corpus.
+
+The reference documents quality targets it never measures
+(``PRODUCTION_SYSTEM_SUMMARY.md:227-231``: MCD < 6.0 dB, duration error
+< 10%).  The trainer's per-epoch dashboard measures them on one val batch;
+this module measures them over a WHOLE corpus (or split) for any
+checkpoint, after the fact — the missing "how good is this model really"
+surface (CLI: ``spev-eval`` / ``python -m spev_tpu.cli.evaluate``).
+
+Per utterance: teacher-forced mel MCD (predicted vs ground-truth mel,
+frame-aligned because durations are cache-rescaled to the mel length) and
+per-phoneme duration error (decoded predicted durations vs targets, the
+reference's decode: ``round(clamp(exp(log_d)-1, 0, 500))``,
+``spev_real_metrics.py:215``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import statistics
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+import jax
+
+from spev_tpu.config import ModelConfig
+from spev_tpu.models.fastspeech2 import apply_fastspeech2
+from spev_tpu.text.vocab import Vocab, pick_bucket
+
+
+def evaluate_checkpoint(
+    checkpoint: str,
+    ds,
+    indices: Optional[Sequence[int]] = None,
+    model_cfg: Optional[ModelConfig] = None,
+    batch_size: int = 8,
+    phoneme_buckets: Sequence[int] = (64, 128, 256),
+    frame_buckets: Sequence[int] = (256, 512, 1024, 2048),
+) -> dict:
+    """Evaluate ``checkpoint`` on utterances ``indices`` of ``ds`` (all by
+    default).  Returns ``{"per_utterance": {i: {mcd_db, dur_err_pct,
+    frames}}, "aggregate": {...}, "skipped": [...]}``; aggregate carries
+    mean/median MCD, mean duration error, and pass flags vs the
+    reference's documented targets."""
+    from spev_tpu.data.batching import collate
+    from spev_tpu.diag.quality import duration_error_pct, mel_cepstral_distortion
+    from spev_tpu.infer.synthesis import _load_any_checkpoint
+    from spev_tpu.train.checkpoint import load_model_config
+
+    params, vocab_list, _stats = _load_any_checkpoint(checkpoint)
+    vocab = Vocab(vocab_list)
+    if model_cfg is None:
+        stored = load_model_config(checkpoint) if str(checkpoint).endswith(".spev") else {}
+        base = ModelConfig(**stored) if stored else ModelConfig()
+        model_cfg = dataclasses.replace(base, vocab_size=len(vocab))
+
+    if indices is None:
+        indices = range(len(ds))
+    lengths = getattr(ds, "lengths", None)
+    groups: Dict[tuple, list] = {}
+    skipped = []
+    for i in indices:
+        if lengths is not None and i < len(lengths) and lengths[i] is not None:
+            n, t = int(lengths[i][0]), int(lengths[i][1])
+        else:
+            u = ds.load_utterance(i)
+            n, t = len(u["phs"]), int(u["mel"].shape[0])
+        try:
+            key = (pick_bucket(n, phoneme_buckets), pick_bucket(t, frame_buckets))
+        except ValueError:
+            skipped.append(i)
+            continue
+        groups.setdefault(key, []).append(i)
+
+    fwd_cache: Dict[tuple, object] = {}
+
+    def get_fwd(P: int, M: int):
+        if (P, M) not in fwd_cache:
+            cfg_pm = dataclasses.replace(model_cfg, max_phonemes=P, max_frames=M)
+
+            def fwd(p, ids, lens, durs, pitch, energy, breath, rough, bright, nasal):
+                out = apply_fastspeech2(
+                    p, cfg_pm, ids, lens,
+                    target_durations=durs, target_pitch=pitch,
+                    target_energy=energy, target_breath=breath,
+                    target_rough=rough, target_bright=bright,
+                    target_nasal=nasal, deterministic=True,
+                )
+                return out["mel_pred"], out["mel_len"], out["log_duration_pred"]
+
+            fwd_cache[(P, M)] = jax.jit(fwd)
+        return fwd_cache[(P, M)]
+
+    per: Dict[int, dict] = {}
+    for (P, M), idxs in sorted(groups.items()):
+        fwd = get_fwd(P, M)
+        for start in range(0, len(idxs), batch_size):
+            g = idxs[start : start + batch_size]
+            pad = g + [g[0]] * (batch_size - len(g))  # static batch shape
+            utts = [ds.load_utterance(i) for i in pad]
+            b = collate(utts, vocab, P, M, model_cfg.n_mels)
+            mel, mel_len, log_dur = fwd(
+                params, b["ids"], b["lens"], b["durs"], b["pitch"], b["energy"],
+                b["breath"], b["rough"], b["bright"], b.get("nasal"),
+            )
+            mel = np.asarray(mel, np.float32)
+            mel_len = np.asarray(mel_len)
+            # the reference's duration decode (spev_real_metrics.py:215)
+            pred_durs = np.round(np.clip(np.exp(np.asarray(log_dur, np.float32)) - 1.0,
+                                         0.0, 500.0))
+            for row, i in enumerate(g):
+                gt = np.asarray(utts[row]["mel"], np.float32)
+                L = min(int(mel_len[row]), gt.shape[0])
+                tgt_durs = np.asarray(b["durs"][row], np.float32)
+                per[i] = {
+                    "mcd_db": round(float(mel_cepstral_distortion(
+                        mel[row, :L], gt[:L])), 3),
+                    "dur_err_pct": round(float(duration_error_pct(
+                        pred_durs[row], tgt_durs)), 3),
+                    "frames": int(gt.shape[0]),
+                }
+
+    mcds = [v["mcd_db"] for v in per.values() if np.isfinite(v["mcd_db"])]
+    errs = [v["dur_err_pct"] for v in per.values() if np.isfinite(v["dur_err_pct"])]
+    agg = {
+        "n_utterances": len(per),
+        "n_skipped": len(skipped),
+        "mcd_db_mean": round(statistics.mean(mcds), 3) if mcds else float("nan"),
+        "mcd_db_median": round(statistics.median(mcds), 3) if mcds else float("nan"),
+        "dur_err_pct_mean": round(statistics.mean(errs), 3) if errs else float("nan"),
+        "dur_err_pct_median": round(statistics.median(errs), 3) if errs else float("nan"),
+    }
+    # the reference's documented targets (PRODUCTION_SYSTEM_SUMMARY.md:227-231)
+    agg["meets_mcd_target_6db"] = bool(mcds and agg["mcd_db_mean"] < 6.0)
+    agg["meets_dur_err_target_10pct"] = bool(errs and agg["dur_err_pct_mean"] < 10.0)
+    return {"per_utterance": per, "aggregate": agg, "skipped": skipped}
