@@ -70,6 +70,11 @@ def main(argv=None) -> None:
           f"{a['dur_err_pct_median']:.2f}% median "
           f"[reference target < 10%: "
           f"{'PASS' if a['meets_dur_err_target_10pct'] else 'not met'}]")
+    if "f0_rmse_hz_mean" in a:
+        print(f"  F0 RMSE:        {a['f0_rmse_hz_mean']:.2f} Hz mean / "
+              f"{a['f0_rmse_hz_median']:.2f} Hz median "
+              f"[reference target < 20 Hz: "
+              f"{'PASS' if a['meets_f0_target_20hz'] else 'not met'}]")
     if args.json:
         with open(args.json, "w") as f:
             json.dump(res, f, indent=1)

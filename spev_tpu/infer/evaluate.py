@@ -8,10 +8,14 @@ checkpoint, after the fact — the missing "how good is this model really"
 surface (CLI: ``spev-eval`` / ``python -m spev_tpu.cli.evaluate``).
 
 Per utterance: teacher-forced mel MCD (predicted vs ground-truth mel,
-frame-aligned because durations are cache-rescaled to the mel length) and
+frame-aligned because durations are cache-rescaled to the mel length),
 per-phoneme duration error (decoded predicted durations vs targets, the
 reference's decode: ``round(clamp(exp(log_d)-1, 0, 500))``,
-``spev_real_metrics.py:215``).
+``spev_real_metrics.py:215``), and per-phoneme F0 RMSE in Hz — predicted
+and target pitch are z-scored voiced log-F0 means
+(``spev_real_metrics.py:409-411``), so the checkpoint's stats denormalize
+both to Hz (``exp(z·p_std + p_mean)``) with no vocoding; phonemes whose
+target had no voiced frames (stored as exactly 0.0 z) are excluded.
 """
 
 from __future__ import annotations
@@ -47,8 +51,11 @@ def evaluate_checkpoint(
     from spev_tpu.infer.synthesis import _load_any_checkpoint
     from spev_tpu.train.checkpoint import load_model_config
 
-    params, vocab_list, _stats = _load_any_checkpoint(checkpoint)
+    params, vocab_list, stats = _load_any_checkpoint(checkpoint)
     vocab = Vocab(vocab_list)
+    p_stats = None
+    if stats and "p_mean" in stats and "p_std" in stats:
+        p_stats = (float(stats["p_mean"]), float(stats["p_std"]))
     if model_cfg is None:
         stored = load_model_config(checkpoint) if str(checkpoint).endswith(".spev") else {}
         base = ModelConfig(**stored) if stored else ModelConfig()
@@ -86,7 +93,8 @@ def evaluate_checkpoint(
                     target_rough=rough, target_bright=bright,
                     target_nasal=nasal, deterministic=True,
                 )
-                return out["mel_pred"], out["mel_len"], out["log_duration_pred"]
+                return (out["mel_pred"], out["mel_len"],
+                        out["log_duration_pred"], out["pitch_pred"])
 
             fwd_cache[(P, M)] = jax.jit(fwd)
         return fwd_cache[(P, M)]
@@ -99,12 +107,13 @@ def evaluate_checkpoint(
             pad = g + [g[0]] * (batch_size - len(g))  # static batch shape
             utts = [ds.load_utterance(i) for i in pad]
             b = collate(utts, vocab, P, M, model_cfg.n_mels)
-            mel, mel_len, log_dur = fwd(
+            mel, mel_len, log_dur, pitch_pred = fwd(
                 params, b["ids"], b["lens"], b["durs"], b["pitch"], b["energy"],
                 b["breath"], b["rough"], b["bright"], b.get("nasal"),
             )
             mel = np.asarray(mel, np.float32)
             mel_len = np.asarray(mel_len)
+            pitch_pred = np.asarray(pitch_pred, np.float32)
             # the reference's duration decode (spev_real_metrics.py:215)
             pred_durs = np.round(np.clip(np.exp(np.asarray(log_dur, np.float32)) - 1.0,
                                          0.0, 500.0))
@@ -119,9 +128,22 @@ def evaluate_checkpoint(
                         pred_durs[row], tgt_durs)), 3),
                     "frames": int(gt.shape[0]),
                 }
+                # F0 RMSE (Hz): denormalize z-scored log-F0 via the stats;
+                # exclude padding and unvoiced-target phonemes (exact 0.0 z)
+                if p_stats is not None:
+                    tgt_p = np.asarray(b["pitch"][row], np.float32)
+                    voiced = (tgt_durs > 0) & (tgt_p != 0.0)
+                    if voiced.any():
+                        hz_t = np.exp(tgt_p[voiced] * p_stats[1] + p_stats[0])
+                        hz_p = np.exp(np.clip(pitch_pred[row][voiced], -2.5, 2.5)
+                                      * p_stats[1] + p_stats[0])
+                        per[i]["f0_rmse_hz"] = round(float(np.sqrt(
+                            np.mean((hz_p - hz_t) ** 2))), 3)
 
     mcds = [v["mcd_db"] for v in per.values() if np.isfinite(v["mcd_db"])]
     errs = [v["dur_err_pct"] for v in per.values() if np.isfinite(v["dur_err_pct"])]
+    f0s = [v["f0_rmse_hz"] for v in per.values()
+           if "f0_rmse_hz" in v and np.isfinite(v["f0_rmse_hz"])]
     agg = {
         "n_utterances": len(per),
         "n_skipped": len(skipped),
@@ -130,7 +152,12 @@ def evaluate_checkpoint(
         "dur_err_pct_mean": round(statistics.mean(errs), 3) if errs else float("nan"),
         "dur_err_pct_median": round(statistics.median(errs), 3) if errs else float("nan"),
     }
+    if f0s:
+        agg["f0_rmse_hz_mean"] = round(statistics.mean(f0s), 3)
+        agg["f0_rmse_hz_median"] = round(statistics.median(f0s), 3)
     # the reference's documented targets (PRODUCTION_SYSTEM_SUMMARY.md:227-231)
     agg["meets_mcd_target_6db"] = bool(mcds and agg["mcd_db_mean"] < 6.0)
     agg["meets_dur_err_target_10pct"] = bool(errs and agg["dur_err_pct_mean"] < 10.0)
+    if f0s:
+        agg["meets_f0_target_20hz"] = bool(agg["f0_rmse_hz_mean"] < 20.0)
     return {"per_utterance": per, "aggregate": agg, "skipped": skipped}

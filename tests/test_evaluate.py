@@ -47,6 +47,9 @@ def test_evaluate_checkpoint_per_utterance_and_aggregate(corpus_ckpt):
         assert np.isfinite(v["mcd_db"]) and v["mcd_db"] > 0
         assert np.isfinite(v["dur_err_pct"]) and v["dur_err_pct"] >= 0
         assert v["frames"] > 0
+        # tone corpus: every utterance has voiced phonemes -> F0 RMSE in a
+        # plausible Hz band (denormalized via the checkpoint stats)
+        assert 0 < v["f0_rmse_hz"] < 500
     assert agg["n_utterances"] == len(ds) and agg["n_skipped"] == 0
     mcds = sorted(v["mcd_db"] for v in per.values())
     assert agg["mcd_db_median"] == pytest.approx(mcds[len(mcds) // 2], abs=1e-3)
