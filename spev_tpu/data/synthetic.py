@@ -158,6 +158,17 @@ def _write_textgrid(path: str, phones: List[str], bounds_s: List[float]) -> None
         f.write("\n".join(lines) + "\n")
 
 
+def speaker_voice(k: int, n_speakers: int) -> Tuple[float, float]:
+    """Deterministic per-speaker voice: (f0_multiplier, formant_scale).
+    Speakers spread over ~[0.72, 1.39]× F0 (≈ half an octave either way)
+    and [0.90, 1.10]× vocal-tract formant scaling — separations far above
+    the corpus's per-utterance jitter, so speaker identity is learnable."""
+    if n_speakers <= 1:
+        return 1.0, 1.0
+    t = k / (n_speakers - 1)  # 0..1
+    return float(np.exp(-0.33 + 0.66 * t)), float(0.90 + 0.20 * t)
+
+
 def generate_formant_corpus(
     out_dir: str,
     n_utterances: int = 200,
@@ -167,12 +178,19 @@ def generate_formant_corpus(
     syllable_range: Tuple[int, int] = (3, 7),
     duration_jitter: float = 0.05,
     textgrid_dir: Optional[str] = None,
+    n_speakers: int = 1,
 ) -> str:
     """Generate ``n_utterances`` wav + TextGrid pairs.  Returns the
     TextGrid directory (defaults to ``out_dir``/textgrids).
 
     Phone boundaries land exactly on the hop grid, so TextGrid-derived
     frame durations equal the generated ones.
+
+    With ``n_speakers > 1`` (the multi-speaker stretch config), utterances
+    are assigned round-robin to speakers with distinct deterministic
+    voices (`speaker_voice`: F0 register + vocal-tract formant scaling)
+    and named ``spk{k}_utt{u:04d}.*`` so ``SpevDataset(multi_speaker=True)``
+    derives the speaker label from the basename prefix.
     """
     os.makedirs(out_dir, exist_ok=True)
     tg_dir = textgrid_dir or os.path.join(out_dir, "textgrids")
@@ -180,6 +198,8 @@ def generate_formant_corpus(
     rng = np.random.RandomState(seed)
 
     for u in range(n_utterances):
+        spk = u % max(1, n_speakers)
+        f0_mult, fm_scale = speaker_voice(spk, n_speakers)
         n_syll = rng.randint(syllable_range[0], syllable_range[1] + 1)
         phones = _sample_phone_seq(rng, n_syll)
         frames = [
@@ -190,8 +210,8 @@ def generate_formant_corpus(
         n_samples = total_frames * hop_length
 
         # utterance F0 contour: declination + per-phone accent
-        f0_start = 210.0 * np.exp(0.03 * rng.randn())
-        f0_end = 150.0 * np.exp(0.03 * rng.randn())
+        f0_start = 210.0 * f0_mult * np.exp(0.03 * rng.randn())
+        f0_end = 150.0 * f0_mult * np.exp(0.03 * rng.randn())
         base = np.linspace(f0_start, f0_end, n_samples)
         f0 = base.copy()
         cur = 0
@@ -206,11 +226,17 @@ def generate_formant_corpus(
         bounds = [0.0]
         for p, d in zip(phones, frames):
             n = d * hop_length
-            y[cur : cur + n] = _phone_audio(_PHONES[p], n, f0[cur : cur + n], sr, rng)
+            ph = _PHONES[p]
+            if fm_scale != 1.0 and ph.formants:
+                from dataclasses import replace
+
+                ph = replace(ph, formants=tuple(
+                    (f * fm_scale, bw) for f, bw in ph.formants))
+            y[cur : cur + n] = _phone_audio(ph, n, f0[cur : cur + n], sr, rng)
             cur += n
             bounds.append(cur / sr)
 
-        name = f"utt{u:04d}"
+        name = f"utt{u:04d}" if n_speakers <= 1 else f"spk{spk}_utt{u:04d}"
         write_wav(os.path.join(out_dir, f"{name}.wav"), y.astype(np.float32), sr)
         _write_textgrid(os.path.join(tg_dir, f"{name}.TextGrid"), phones, bounds)
         with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:

@@ -73,3 +73,37 @@ def test_multispeaker_training_step(ms_dataset):
     fresh = init_train_state(jax.random.PRNGKey(0), cfg)
     emb0 = np.asarray(fresh.params["advanced"]["speaker_embedding"]["weight"])
     assert not np.allclose(emb, emb0)
+
+
+def test_synthetic_multispeaker_corpus_and_eval(tmp_path):
+    """n_speakers>1 corpus generation: spk{k}_ prefixes, distinct voices,
+    and evaluate_checkpoint routing speaker ids through apply_advanced."""
+    from spev_tpu.data.synthetic import generate_formant_corpus, speaker_voice
+    from spev_tpu.infer.evaluate import evaluate_checkpoint
+
+    root = str(tmp_path / "corpus")
+    tg = generate_formant_corpus(root, n_utterances=6, seed=0, n_speakers=3)
+    names = sorted(os.listdir(root))
+    assert "spk0_utt0000.wav" in names and "spk2_utt0002.wav" in names
+    # voices are deterministically spread (F0 register strictly increasing)
+    mults = [speaker_voice(k, 3)[0] for k in range(3)]
+    assert mults[0] < mults[1] < mults[2]
+
+    ds = SpevDataset(root, textgrid_dir=tg, cache_dir=str(tmp_path / "cache"),
+                     g2p_backend="rules", stats_sample=6, multi_speaker=True)
+    assert ds.speakers == ["spk0", "spk1", "spk2"]
+    vocab = Vocab(ds.vocab)
+    cfg = SpevConfig(
+        model=ModelConfig(vocab_size=len(vocab), embed_dim=32, hidden_dim=32,
+                          n_mels=80, max_phonemes=64, max_frames=256,
+                          n_speakers=3),
+        train=TrainConfig(batch_size=2, warmup_steps=5, epochs=1),
+    )
+    trainer = Trainer(cfg, vocab, ds.stats,
+                      ckpt_dir=str(tmp_path / "ck"), log_dir=str(tmp_path / "lg"))
+    ckpt = trainer.save("ms_eval")
+    res = evaluate_checkpoint(ckpt, ds, batch_size=2,
+                              phoneme_buckets=(64,), frame_buckets=(256,))
+    assert res["aggregate"]["n_utterances"] == 6
+    for v in res["per_utterance"].values():
+        assert np.isfinite(v["mcd_db"]) and np.isfinite(v["dur_err_pct"])
