@@ -103,8 +103,14 @@ def main(argv=None) -> None:
                    help="generator size (tiny = smoke-test scale)")
     p.add_argument("--finetune_from", default=None,
                    help="upstream HiFi-GAN dir (config.json + g_*) OR a "
-                        "gen_*.spev saved by this trainer (resume; pair "
-                        "with the matching --config)")
+                        "gen_*.spev saved by this trainer (generator-only "
+                        "warm start; pair with the matching --config)")
+    p.add_argument("--resume_state", default=None,
+                   help="state_latest.spev from a previous run: restores "
+                        "generator + discriminators + optimizer states + "
+                        "step for exact resume (upstream's g_*+do_* "
+                        "semantics; pair with the same --config/--periods/"
+                        "--scales)")
     p.add_argument("--steps", type=int, default=10000)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--segment_frames", type=int, default=32,
@@ -233,6 +239,12 @@ def main(argv=None) -> None:
     periods = tuple(int(x) for x in args.periods.split(",") if x.strip())
     state = init_vocoder_train_state(jax.random.PRNGKey(0), cfg, gen_params=gen_params,
                                      periods=periods, n_scales=args.scales)
+    if args.resume_state:
+        from spev_tpu.train.vocoder_trainer import load_state
+
+        state = load_state(args.resume_state, state)
+        print(f"resumed full GAN state from {args.resume_state} "
+              f"(step {int(state.step)})")
     step = make_vocoder_train_step(cfg, audio, periods=periods)
     ckpt_dir = os.path.join("checkpoints", args.name)
     log_dir = os.path.join("logs", args.name)
@@ -257,7 +269,12 @@ def main(argv=None) -> None:
         if (i + 1) % args.save_every == 0 or i + 1 == args.steps:
             path = os.path.join(ckpt_dir, f"gen_{i + 1:08d}.spev")
             save_generator(path, state, cfg)
-            print(f"saved {path}")
+            # full GAN state (gen+disc+opts+step) for exact resume — one
+            # rolling file: it is ~4x the generator, so keep only latest
+            from spev_tpu.train.vocoder_trainer import save_state
+
+            save_state(os.path.join(ckpt_dir, "state_latest.spev"), state)
+            print(f"saved {path} (+ state_latest.spev)")
 
 
 if __name__ == "__main__":

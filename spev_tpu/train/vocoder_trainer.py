@@ -182,3 +182,33 @@ def save_generator(path: str, state: VocoderTrainState, cfg: HiFiGANConfig) -> N
     save_checkpoint(path, state.gen_params, step=int(state.step),
                     model_config={"hifigan": True, "resblock": cfg.resblock,
                                   "upsample_rates": list(cfg.upsample_rates)})
+
+
+def save_state(path: str, state: VocoderTrainState) -> None:
+    """Full GAN train-state checkpoint: generator + discriminators + both
+    optimizer states + step.  Upstream HiFi-GAN resumes its ``do_*``
+    discriminator/optimizer checkpoints alongside ``g_*``; resuming from a
+    generator-only ``gen_*.spev`` restarts the discriminators and loses
+    the adversarial equilibrium (and the LR-schedule position)."""
+    import os
+
+    from flax import serialization
+
+    payload = serialization.to_state_dict(
+        jax.tree.map(np.asarray, dict(state._asdict())))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)
+
+
+def load_state(path: str, template: VocoderTrainState) -> VocoderTrainState:
+    """Restore a `save_state` checkpoint into ``template``'s structure
+    (build the template with the SAME --config/--periods/--scales; a
+    structure mismatch raises with the differing paths)."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    restored = serialization.from_state_dict(dict(template._asdict()), raw)
+    return VocoderTrainState(**restored)

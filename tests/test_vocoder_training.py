@@ -167,3 +167,42 @@ def test_vocoder_cli_end_to_end(tmp_path, monkeypatch):
           "--save_every", "2"])
     ckpts2 = _glob.glob(str(tmp_path / "checkpoints" / "smoke2" / "gen_*.spev"))
     assert len(ckpts2) == 1, ckpts2
+
+
+def test_full_state_save_load_roundtrip_resumes_exactly(tmp_path):
+    """save_state/load_state: generator + discriminators + optimizer states
+    + step round-trip exactly, so a resumed run's next update equals the
+    uninterrupted run's (upstream's g_*+do_* resume semantics — a
+    generator-only warm start restarts D and the LR schedule)."""
+    from spev_tpu.train.vocoder_trainer import load_state, save_state
+
+    audio = AudioConfig()
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, 8, 80)).astype(np.float32) - 6.0)
+    wav = jnp.asarray(rng.standard_normal((2, 8 * audio.hop_length)).astype(np.float32))
+
+    state = init_vocoder_train_state(jax.random.PRNGKey(0), TINY,
+                                     periods=(2,), n_scales=1)
+    step = make_vocoder_train_step(TINY, audio, periods=(2,))
+    state, _ = step(state, mel, wav)
+    path = str(tmp_path / "state_latest.spev")
+    save_state(path, state)
+    step_before = int(state.step)
+
+    # continue the original vs resume-from-disk: next step must match
+    # (the train step donates its state arg, so read state only via the
+    # saved file / step_before from here on)
+    cont, m_cont = step(state, mel, wav)
+    template = init_vocoder_train_state(jax.random.PRNGKey(1), TINY,
+                                        periods=(2,), n_scales=1)
+    resumed = load_state(path, template)
+    assert int(resumed.step) == step_before
+    res, m_res = step(resumed, mel, wav)
+    assert float(m_cont["g_loss"]) == pytest.approx(float(m_res["g_loss"]), rel=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(cont.gen_params)[0]),
+        np.asarray(jax.tree.leaves(res.gen_params)[0]), rtol=1e-6)
+    # discriminators resumed too (not re-initialized)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(cont.disc_params)[0]),
+        np.asarray(jax.tree.leaves(res.disc_params)[0]), rtol=1e-6)
