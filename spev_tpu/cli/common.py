@@ -59,17 +59,28 @@ def run_training(args, warmup_epochs: int = 0, model_overrides: Optional[dict] =
     from spev_tpu.text.vocab import Vocab
     from spev_tpu.train.trainer import Trainer
 
+    multi_speaker = bool(getattr(args, "multi_speaker", False))
     ds = SpevDataset(
         args.data_dir,
         textgrid_dir=getattr(args, "textgrid_dir", None),
         cache_dir=getattr(args, "cache_dir", "cache_spev"),
         force_rebuild=getattr(args, "force_rebuild", False),
+        multi_speaker=multi_speaker,
     )
     vocab = Vocab(ds.vocab)
     print(f"Dataset: {len(ds)} utterances, vocab {len(vocab)}")
 
+    model_overrides = dict(model_overrides or {})
+    if multi_speaker:
+        # speaker table sized from the corpus labels (basename prefixes);
+        # batches then carry speaker_ids and the trainer routes through
+        # the advanced wrapper's speaker embedding
+        model_overrides.setdefault("n_speakers", max(2, len(ds.speakers)))
+        print(f"Multi-speaker: {len(ds.speakers)} speakers "
+              f"({', '.join(ds.speakers[:8])}{'…' if len(ds.speakers) > 8 else ''})")
+
     cfg = SpevConfig(
-        model=ModelConfig(vocab_size=len(vocab), **(model_overrides or {})),
+        model=ModelConfig(vocab_size=len(vocab), **model_overrides),
         train=TrainConfig(
             learning_rate=args.lr,
             batch_size=args.batch_size,

@@ -27,6 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=150)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--multi_speaker", action="store_true",
+                   help="derive speaker labels from filename prefixes "
+                        "({speaker}_*.wav) and train a speaker embedding; "
+                        "synthesize with --speaker")
     # inference
     p.add_argument("--checkpoint", type=str, default="checkpoints/spev_advanced/best.spev")
     p.add_argument("--hifigan_dir", type=str, default="hifi-gan")

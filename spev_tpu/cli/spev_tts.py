@@ -21,6 +21,11 @@ def build_parser() -> argparse.ArgumentParser:
     add_cache_flags(p)
     p.add_argument("--warmup_epochs", type=int, default=10,
                    help="duration-only epochs before full training")
+    p.add_argument("--multi_speaker", action="store_true",
+                   help="derive speaker labels from filename prefixes "
+                        "(LibriTTS-R convention: {speaker}_*.wav) and train "
+                        "a speaker embedding — the multi-speaker stretch "
+                        "config")
     p.add_argument("--reference_predictors", action="store_true",
                    help="keep the reference's LayerNorm(1) constant-output "
                         "variance predictors (checkpoint-parity mode); by "

@@ -107,3 +107,44 @@ def test_synthetic_multispeaker_corpus_and_eval(tmp_path):
     assert res["aggregate"]["n_utterances"] == 6
     for v in res["per_utterance"].values():
         assert np.isfinite(v["mcd_db"]) and np.isfinite(v["dur_err_pct"])
+
+
+def test_run_training_multi_speaker_flag(tmp_path, monkeypatch):
+    """The CLI surface (--multi_speaker on spev-train/spev-advanced-train):
+    run_training derives speaker labels, sizes the speaker table from the
+    corpus, and the saved checkpoint carries the embedding."""
+    from types import SimpleNamespace
+
+    from spev_tpu.cli.common import run_training
+    from spev_tpu.train.checkpoint import load_model_config, load_params
+
+    root = str(tmp_path / "corpus")
+    os.makedirs(root)
+    rng = np.random.default_rng(0)
+    sr = 22050
+    for spk in ("101", "202"):
+        for j in range(2):
+            t = np.arange(int(0.7 * sr)) / sr
+            f0 = 120 if spk == "101" else 220
+            y = 0.4 * np.sin(2 * np.pi * f0 * t) + 0.02 * rng.standard_normal(len(t))
+            base = f"{spk}_1_{j}"
+            write_wav(os.path.join(root, base + ".wav"), y.astype(np.float32), sr)
+            with open(os.path.join(root, base + ".txt"), "w") as f:
+                f.write("multi speaker line")
+
+    monkeypatch.chdir(tmp_path)
+    args = SimpleNamespace(
+        data_dir=root, textgrid_dir=None,
+        cache_dir=str(tmp_path / "cache"), force_rebuild=False,
+        multi_speaker=True, lr=1e-3, batch_size=2, grad_accum=1,
+        epochs=1, name="ms_cli", resume=None,
+    )
+    run_training(args, model_overrides={
+        "embed_dim": 32, "hidden_dim": 32, "n_mels": 80,
+        "max_phonemes": 64, "max_frames": 128,
+    })
+    ckpt = os.path.join(str(tmp_path), "checkpoints", "ms_cli", "last.spev")
+    assert os.path.exists(ckpt)
+    params, _, _ = load_params(ckpt)
+    assert "advanced" in params and "speaker_embedding" in params["advanced"]
+    assert load_model_config(ckpt).get("n_speakers") == 2
