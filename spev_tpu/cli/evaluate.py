@@ -33,6 +33,11 @@ def main(argv=None) -> None:
     p.add_argument("--seed", type=int, default=0, help="split seed")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--g2p", default="auto")
+    p.add_argument("--multi_speaker", action="store_true",
+                   help="derive speaker labels from filename prefixes so a "
+                        "multi-speaker checkpoint is evaluated WITH its "
+                        "speaker conditioning (otherwise the speaker "
+                        "embedding is bypassed)")
     p.add_argument("--json", default=None, help="also write the full result here")
     add_cache_flags(p)
     args = p.parse_args(argv)
@@ -47,7 +52,8 @@ def main(argv=None) -> None:
 
     ds = SpevDataset(args.data_dir, textgrid_dir=args.textgrid_dir,
                      cache_dir=args.cache_dir, g2p_backend=args.g2p,
-                     force_rebuild=args.force_rebuild)
+                     force_rebuild=args.force_rebuild,
+                     multi_speaker=args.multi_speaker)
     if args.split == "all":
         indices = None
     else:
