@@ -308,13 +308,34 @@ def measure(bf16_vocoder: bool, B: int, n_iter: int = 10, want_flops: bool = Fal
     return audio_sec / dt, dt / n_iter, cfg, flops, real_rtf, model_flops
 
 
+_TRAIN_HOST_STATE: list = []  # one-element cache: device master of the init state
+_COPY_STATE: list = []  # one-element cache: the jitted state-copy fn
+
+
+def _copy_state(s):
+    # fresh on-device buffers for a donated-state step chain; ONE jit
+    # wrapper shared by the three train stages (a fresh jit per stage
+    # retraces and re-loads the compile).  Lazy: bench must not import
+    # jax before the backend probe.
+    if not _COPY_STATE:
+        _COPY_STATE.append(jax.jit(lambda t: jax.tree.map(jnp.copy, t)))
+    return _COPY_STATE[0](s)
+
+
 def measure_training(B: int = 16, n_iter: int = 30, matmul_precision: str = "high"):
     """Full-size teacher-forced train step: steps/sec, MFU, projected
     hours per 100 LJSpeech epochs (13,100 utterances).
 
     Timing forces a host fetch of the final loss AND a parameter reduction:
     on the tunneled axon platform ``block_until_ready`` alone can return
-    before a donated-state step chain has fully executed."""
+    before a donated-state step chain has fully executed.
+
+    The init state is built ONCE across the high/mixed/bf16 stages (the
+    init graph is precision-independent; its compile costs ~20 s through
+    the remote service) and kept as a device-resident master — each stage
+    takes an on-device copy because the train step donates its state
+    argument.  (A host copy is NOT viable: the relay downloads ~120 MB in
+    ~67 s, so round-tripping the ~360 MB state would cost minutes.)"""
     from spev_tpu.config import ModelConfig, SpevConfig, TrainConfig
     from spev_tpu.parallel.mesh import make_mesh, shard_batch
     from spev_tpu.train.trainer import init_train_state, make_train_step
@@ -325,7 +346,9 @@ def measure_training(B: int = 16, n_iter: int = 30, matmul_precision: str = "hig
         train=TrainConfig(batch_size=B, matmul_precision=matmul_precision),
     )
     mesh = make_mesh((1,), ("data",))
-    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    if not _TRAIN_HOST_STATE:
+        _TRAIN_HOST_STATE.append(init_train_state(jax.random.PRNGKey(0), cfg))
+    state = _copy_state(_TRAIN_HOST_STATE[0])
     step = make_train_step(cfg, mesh, state.params, use_dropout=True)
 
     rng = np.random.default_rng(0)
@@ -610,10 +633,11 @@ def main():
             )
         mark("train_mixed")
 
-    if left() > 150:
+    if left() > 110:
+        # cheap now: the init state is shared with the stages above
         train_bf16 = _bounded(
             lambda: measure_training(B=16, matmul_precision="default"),
-            int(min(150, left() - 60)),
+            int(min(120, left() - 50)),
         )
         if train_bf16:
             _record(
@@ -622,20 +646,22 @@ def main():
             )
         mark("train_bf16")
 
-    if left() > 80:
-        lat = _bounded(measure_latency_b1, int(min(90, left() - 30)))
+    if left() > 75:
+        # the adaptive number is a README headline — capture it before the
+        # cheaper latency stage when the budget is tight
+        adaptive_rtf = _bounded(measure_adaptive_serving, int(min(150, left() - 40)))
+        if adaptive_rtf:
+            _record(adaptive_serving_rtf=round(adaptive_rtf, 2))
+        mark("adaptive_serving")
+
+    if left() > 35:
+        lat = _bounded(measure_latency_b1, int(min(90, left() - 5)))
         if lat:
             _record(
                 latency_b1_ms_per_sentence=round(lat[0], 2),
                 host_rtt_ms=round(lat[1], 2),
             )
         mark("latency_b1")
-
-    if left() > 150:
-        adaptive_rtf = _bounded(measure_adaptive_serving, int(min(180, left() - 30)))
-        if adaptive_rtf:
-            _record(adaptive_serving_rtf=round(adaptive_rtf, 2))
-        mark("adaptive_serving")
 
     _emit()
 

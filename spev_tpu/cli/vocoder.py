@@ -116,6 +116,15 @@ def main(argv=None) -> None:
     p.add_argument("--segment_frames", type=int, default=32,
                    help="mel frames per training crop")
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--disc_warmup", type=int, default=0,
+                   help="train the discriminators ONLY (generator frozen) "
+                        "for the first N steps — use when warm-starting "
+                        "from a generator-only checkpoint (--finetune_from "
+                        "gen_*.spev): fresh discriminators otherwise feed "
+                        "the strong generator noise gradients (adversarial "
+                        "+ feature-matching terms against random features), "
+                        "which measurably regresses copy-synthesis MCD for "
+                        "thousands of steps (docs/QUALITY.md GTA table)")
     p.add_argument("--periods", type=str, default="2,3,5,7,11",
                    help="MPD periods (fewer = faster compile/steps)")
     p.add_argument("--scales", type=int, default=3, help="MSD scales")
@@ -238,14 +247,14 @@ def main(argv=None) -> None:
     modules.set_matmul_precision(args.precision)
     periods = tuple(int(x) for x in args.periods.split(",") if x.strip())
     state = init_vocoder_train_state(jax.random.PRNGKey(0), cfg, gen_params=gen_params,
-                                     periods=periods, n_scales=args.scales)
+                                     periods=periods, n_scales=args.scales, lr=args.lr)
     if args.resume_state:
         from spev_tpu.train.vocoder_trainer import load_state
 
         state = load_state(args.resume_state, state)
         print(f"resumed full GAN state from {args.resume_state} "
               f"(step {int(state.step)})")
-    step = make_vocoder_train_step(cfg, audio, periods=periods)
+    step = make_vocoder_train_step(cfg, audio, periods=periods, lr=args.lr)
     ckpt_dir = os.path.join("checkpoints", args.name)
     log_dir = os.path.join("logs", args.name)
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -259,6 +268,11 @@ def main(argv=None) -> None:
             yield batch()
 
     for i, (mel, wav) in enumerate(prefetch(batches(), depth=2)):
+        if i < args.disc_warmup:
+            state, d_loss, _ok = step.d_step(state, mel, wav)
+            if (i + 1) % args.log_every == 0:
+                print(f"step {i + 1} [disc warmup]: d={float(d_loss):.3f}")
+            continue
         state, m = step(state, mel, wav)
         if (i + 1) % args.log_every == 0:
             print(

@@ -48,7 +48,8 @@ def make_vocoder_optimizer(lr: float = 2e-4, decay: float = 0.999, decay_every: 
 
 
 def init_vocoder_train_state(
-    key, cfg: HiFiGANConfig, gen_params=None, periods=None, n_scales: int = 3
+    key, cfg: HiFiGANConfig, gen_params=None, periods=None, n_scales: int = 3,
+    lr: float = 2e-4,
 ) -> VocoderTrainState:
     """gen_params: pass imported upstream params to fine-tune (the LJ_FT
     workflow); None trains from scratch."""
@@ -60,8 +61,8 @@ def init_vocoder_train_state(
     return VocoderTrainState(
         gen_params=gen,
         disc_params=disc,
-        gen_opt=make_vocoder_optimizer().init(gen),
-        disc_opt=make_vocoder_optimizer().init(disc),
+        gen_opt=make_vocoder_optimizer(lr).init(gen),
+        disc_opt=make_vocoder_optimizer(lr).init(disc),
         step=jnp.zeros((), jnp.int32),
     )
 
@@ -82,14 +83,17 @@ def make_vocoder_train_step(
     fm_weight: float = 2.0,
     mel_weight: float = 45.0,
     periods=None,
+    lr: float = 2e-4,
 ) -> Callable:
     """step(state, mel (B,T,M), wav (B,T·hop)) → (state, metrics).
 
     D and G updates are SEPARATE jitted graphs (upstream order preserved:
     D on the detached fake first, then G against the updated D) — one
     monolithic graph doubles compile time on TPU for no runtime benefit.
+    ``lr`` must match the one the state was initialized with (the schedule
+    lives in the optimizer closure, the position in the opt state).
     """
-    opt = make_vocoder_optimizer()
+    opt = make_vocoder_optimizer(lr)
 
     def d_loss_fn(disc_params, real, fake):
         # D loss: every sub-discriminator runs ONCE on concat([real, fake]).

@@ -161,7 +161,7 @@ def test_vocoder_cli_end_to_end(tmp_path, monkeypatch):
     # resume from the trainer's OWN .spev output (found by use: only the
     # upstream dir form was accepted before)
     main(["--data_dir", str(tmp_path), "--name", "smoke2", "--config", "tiny",
-          "--finetune_from", ckpts[0],
+          "--finetune_from", ckpts[0], "--disc_warmup", "1",
           "--steps", "2", "--batch_size", "2", "--segment_frames", "16",
           "--periods", "2", "--scales", "1", "--log_every", "1",
           "--save_every", "2"])
@@ -206,3 +206,49 @@ def test_full_state_save_load_roundtrip_resumes_exactly(tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.tree.leaves(cont.disc_params)[0]),
         np.asarray(jax.tree.leaves(res.disc_params)[0]), rtol=1e-6)
+
+
+def test_disc_warmup_freezes_generator():
+    """step.d_step (the --disc_warmup path) updates ONLY the discriminators:
+    the generator must come through bit-identical, so a warm-started
+    generator (--finetune_from gen_*.spev) is untouched while fresh
+    discriminators catch up to it."""
+    audio = AudioConfig()
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((2, 8, 80)).astype(np.float32) - 6.0)
+    wav = jnp.asarray(rng.standard_normal((2, 8 * audio.hop_length)).astype(np.float32))
+
+    state = init_vocoder_train_state(jax.random.PRNGKey(0), TINY,
+                                     periods=(2,), n_scales=1)
+    gen_before = jax.tree.map(np.array, state.gen_params)
+    disc_leaf_before = np.array(jax.tree.leaves(state.disc_params)[0])
+    step = make_vocoder_train_step(TINY, audio, periods=(2,))
+    state, d_loss, ok = step.d_step(state, mel, wav)
+    assert bool(ok) and np.isfinite(float(d_loss))
+    for a, b in zip(jax.tree.leaves(gen_before), jax.tree.leaves(state.gen_params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    assert not np.allclose(disc_leaf_before,
+                           np.asarray(jax.tree.leaves(state.disc_params)[0]))
+
+
+def test_lr_threads_into_both_optimizers():
+    """--lr reaches the update rule (it was parsed-but-ignored once):
+    lr=0 must leave discriminator params unchanged after a d_step, while
+    the default lr changes them on the same batch."""
+    audio = AudioConfig()
+    rng = np.random.default_rng(1)
+    mel = jnp.asarray(rng.standard_normal((2, 8, 80)).astype(np.float32) - 6.0)
+    wav = jnp.asarray(rng.standard_normal((2, 8 * audio.hop_length)).astype(np.float32))
+
+    def run(lr):
+        state = init_vocoder_train_state(jax.random.PRNGKey(0), TINY,
+                                         periods=(2,), n_scales=1, lr=lr)
+        step = make_vocoder_train_step(TINY, audio, periods=(2,), lr=lr)
+        before = np.array(jax.tree.leaves(state.disc_params)[0])
+        state, _, _ = step.d_step(state, mel, wav)
+        return before, np.asarray(jax.tree.leaves(state.disc_params)[0])
+
+    b0, a0 = run(0.0)
+    np.testing.assert_array_equal(b0, a0)
+    b1, a1 = run(2e-4)
+    assert not np.allclose(b1, a1)
