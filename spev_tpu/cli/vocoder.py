@@ -136,6 +136,11 @@ def main(argv=None) -> None:
                         "and upstream HiFi-GAN itself trains under fp16 AMP; "
                         "f32 params/optimizer are kept either way); 'high' = "
                         "bf16x3 parity-grade matmuls")
+    p.add_argument("--mesh", type=int, default=1,
+                   help="data-parallel devices: shard each crop batch over "
+                        "an N-device 'data' mesh (GAN state replicated; "
+                        "XLA emits the gradient all-reduce over ICI). "
+                        "--batch_size must be divisible by N")
     p.add_argument("--cache_files", type=int, default=1000,
                    help="max files held in the in-RAM wav+mel cache "
                         "(FIFO eviction; ~1 MB per second of audio)")
@@ -254,7 +259,17 @@ def main(argv=None) -> None:
         state = load_state(args.resume_state, state)
         print(f"resumed full GAN state from {args.resume_state} "
               f"(step {int(state.step)})")
-    step = make_vocoder_train_step(cfg, audio, periods=periods, lr=args.lr)
+    mesh = None
+    if args.mesh > 1:
+        from spev_tpu.parallel.mesh import make_mesh
+
+        if args.batch_size % args.mesh:
+            raise UserError(f"--batch_size {args.batch_size} not divisible "
+                            f"by --mesh {args.mesh}")
+        mesh = make_mesh((args.mesh,), ("data",))
+        print(f"data-parallel over {args.mesh} devices")
+    step = make_vocoder_train_step(cfg, audio, periods=periods, lr=args.lr,
+                                   mesh=mesh)
     ckpt_dir = os.path.join("checkpoints", args.name)
     log_dir = os.path.join("logs", args.name)
     os.makedirs(ckpt_dir, exist_ok=True)

@@ -84,6 +84,7 @@ def make_vocoder_train_step(
     mel_weight: float = 45.0,
     periods=None,
     lr: float = 2e-4,
+    mesh=None,
 ) -> Callable:
     """step(state, mel (B,T,M), wav (B,T·hop)) → (state, metrics).
 
@@ -92,8 +93,27 @@ def make_vocoder_train_step(
     monolithic graph doubles compile time on TPU for no runtime benefit.
     ``lr`` must match the one the state was initialized with (the schedule
     lives in the optimizer closure, the position in the opt state).
+
+    With ``mesh`` (a Mesh with a 'data' axis), the crop batch is sharded
+    over 'data' and the GAN state is replicated — XLA emits the gradient
+    all-reduce over ICI from the shardings alone, exactly like the
+    acoustic trainer (parallel/mesh.py).  Batch size must divide the data
+    axis.  The GAN is all convolutions at tiny channel counts, so data
+    parallelism is the only axis that pays here.
     """
     opt = make_vocoder_optimizer(lr)
+
+    d_jit: dict = {}
+    g_jit: dict = {}
+    if mesh is not None:
+        from spev_tpu.parallel.mesh import batch_sharding, replicated
+
+        rep, b_sh = replicated(mesh), batch_sharding(mesh)
+        # prefix pytrees: one sharding covers the whole state / aux subtree
+        d_jit = dict(in_shardings=(rep, b_sh, b_sh),
+                     out_shardings=(rep, rep, rep))
+        g_jit = dict(in_shardings=(rep, b_sh, b_sh),
+                     out_shardings=(rep, rep, rep, rep))
 
     def d_loss_fn(disc_params, real, fake):
         # D loss: every sub-discriminator runs ONCE on concat([real, fake]).
@@ -133,7 +153,7 @@ def make_vocoder_train_step(
     # donate the state: params + both optimizer states are ~1.7 GB of HBM
     # round-tripped per update — in-place reuse removes the copy and the
     # double-capacity allocation (harmless no-op on CPU)
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,), **d_jit)
     def d_step(state: VocoderTrainState, mel, wav):
         fake = jax.lax.stop_gradient(apply_hifigan(state.gen_params, cfg, mel))
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params, wav, fake)
@@ -147,7 +167,7 @@ def make_vocoder_train_step(
             disc_opt=keep(state.disc_opt, d_opt),
         ), d_loss, ok
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,), **g_jit)
     def g_step(state: VocoderTrainState, mel, wav):
         (g_loss, aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.gen_params, state.disc_params, mel, wav
