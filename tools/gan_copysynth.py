@@ -17,6 +17,13 @@ import argparse
 import os
 import sys
 
+# --cpu must take effect before any spev_tpu import can init the TPU
+# backend (e.g. to score snapshots while a training run owns the chip)
+if "--cpu" in sys.argv:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
@@ -36,30 +43,41 @@ def main() -> None:
     ap.add_argument("wavs", nargs="+")
     ap.add_argument("--config", default="v3", choices=["v1", "v3"])
     ap.add_argument("--out_dir", default=None, help="write *_copysynth_gan.wav here")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on CPU (score snapshots beside a busy chip)")
+    ap.add_argument("--skip_gl", action="store_true",
+                    help="skip the Griffin-Lim comparison column")
     args = ap.parse_args()
 
     params, _, _ = load_params(args.checkpoint)
     cfg = HiFiGANConfig() if args.config == "v1" else HiFiGANConfig.v3()
     voc = Vocoder(generator=HiFiGANGenerator(cfg, params))
-    gl = Vocoder(None)
+    gl = None if args.skip_gl else Vocoder(None)
     fx = FeatureExtractor(AudioConfig(), use_pallas=False)
 
+    mcds = []
     for path in args.wavs:
         y, sr = read_wav(path)
         mel = fx.full_features(y)[0].T
         wav_gan = np.asarray(voc.infer(mel))
-        wav_gl = np.asarray(gl.infer(mel))
         mel_gan = fx.full_features(wav_gan[: len(y)])[0].T
-        mel_gl = fx.full_features(wav_gl[: len(y)])[0].T
-        T = min(len(mel), len(mel_gan), len(mel_gl))
+        T = min(len(mel), len(mel_gan))
+        line = ""
+        if gl is not None:
+            wav_gl = np.asarray(gl.infer(mel))
+            mel_gl = fx.full_features(wav_gl[: len(y)])[0].T
+            T = min(T, len(mel_gl))
+            line = f" vs GL {float(mel_cepstral_distortion(mel_gl[:T], mel[:T])):.2f} dB"
         mcd_gan = float(mel_cepstral_distortion(mel_gan[:T], mel[:T]))
-        mcd_gl = float(mel_cepstral_distortion(mel_gl[:T], mel[:T]))
+        mcds.append(mcd_gan)
         name = os.path.splitext(os.path.basename(path))[0]
-        print(f"{name}: copy-synthesis MCD GAN {mcd_gan:.2f} dB vs GL {mcd_gl:.2f} dB")
+        print(f"{name}: copy-synthesis MCD GAN {mcd_gan:.2f} dB{line}")
         if args.out_dir:
             os.makedirs(args.out_dir, exist_ok=True)
             write_wav(os.path.join(args.out_dir, f"{name}_copysynth_gan.wav"),
                       np.clip(wav_gan, -1, 1), 22050)
+    print(f"mean over {len(mcds)}: {np.mean(mcds):.3f} dB "
+          f"(min {min(mcds):.2f} max {max(mcds):.2f})")
 
 
 if __name__ == "__main__":
