@@ -109,8 +109,11 @@ def phase_train(work: str, epochs: int) -> None:
 # ---------------------------------------------------------------------------
 
 def run_finetune(work: str, baseline_gen: str, steps: int, gta: bool,
-                 config: str, batch_size: int, segment_frames: int) -> str:
+                 config: str, batch_size: int, segment_frames: int,
+                 resume_state: str = None, disc_warmup: int = 0) -> str:
     name = "gta_ft" if gta else "control_ft"
+    if resume_state:
+        name += "_rs"  # full-state arms: aligned discriminators, own dirs
     out = os.path.join(work, "checkpoints", name, f"gen_{steps:08d}.spev")
     if os.path.exists(out):
         print(f"{name}: exists, skipping")
@@ -119,12 +122,21 @@ def run_finetune(work: str, baseline_gen: str, steps: int, gta: bool,
            "--data_dir", os.path.join(work, "corpus_train"),
            "--textgrid_dir", os.path.join(work, "corpus_train", "textgrids"),
            "--cache_dir", os.path.join(work, f"cache_voc_{name}"),
-           "--finetune_from", baseline_gen,
            "--config", config,
            "--steps", str(steps), "--batch_size", str(batch_size),
            "--segment_frames", str(segment_frames),
            "--log_every", "200", "--save_every", str(steps),
            "--name", name]
+    if resume_state:
+        # resume generator + DISCRIMINATORS + optimizer states: the arms
+        # keep the adversarial equilibrium instead of restarting D
+        # (which costs ~4 dB copy-synthesis for thousands of steps —
+        # docs/QUALITY.md)
+        cmd += ["--resume_state", resume_state]
+    else:
+        cmd += ["--finetune_from", baseline_gen]
+        if disc_warmup:
+            cmd += ["--disc_warmup", str(disc_warmup)]
     if gta:
         cmd += ["--gta_checkpoint", os.path.join(work, "acoustic.spev")]
     print("run:", " ".join(cmd), flush=True)
@@ -224,6 +236,15 @@ def main() -> None:
     ap.add_argument("--out", default="docs/demo/gta_metrics.json")
     ap.add_argument("--wav_dir", default=None,
                     help="also write val{j}_predmel_{arm}.wav here")
+    ap.add_argument("--resume_state", default=None,
+                    help="state_latest.spev matching --baseline_gen: both "
+                         "fine-tune arms resume the FULL GAN state (aligned "
+                         "discriminators + optimizer) instead of a "
+                         "generator-only warm start with fresh Ds")
+    ap.add_argument("--disc_warmup", type=int, default=0,
+                    help="generator-only warm start: freeze G for N steps "
+                         "while fresh Ds catch up (ignored with "
+                         "--resume_state)")
     ap.add_argument("--phase", default="all",
                     choices=["all", "train", "finetune", "eval"])
     args = ap.parse_args()
@@ -241,15 +262,19 @@ def main() -> None:
     else:
         print("phase train: exists, skipping")
 
+    rs = os.path.abspath(args.resume_state) if args.resume_state else None
     gens = {}
     if args.phase in ("all", "finetune"):
         for arm, gta in [("gta", True), ("control", False)]:
             gens[arm] = run_finetune(args.work, os.path.abspath(args.baseline_gen),
                                      args.steps, gta, args.config,
-                                     args.batch_size, args.segment_frames)
+                                     args.batch_size, args.segment_frames,
+                                     resume_state=rs,
+                                     disc_warmup=args.disc_warmup)
     else:
+        suffix = "_rs" if rs else ""
         for arm, name in [("gta", "gta_ft"), ("control", "control_ft")]:
-            gens[arm] = os.path.join(args.work, "checkpoints", name,
+            gens[arm] = os.path.join(args.work, "checkpoints", name + suffix,
                                      f"gen_{args.steps:08d}.spev")
     if args.phase == "finetune":
         return
