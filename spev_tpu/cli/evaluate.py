@@ -38,6 +38,14 @@ def main(argv=None) -> None:
                         "multi-speaker checkpoint is evaluated WITH its "
                         "speaker conditioning (otherwise the speaker "
                         "embedding is bypassed)")
+    p.add_argument("--vocoder", default=None,
+                   help="also score the SERVING condition: vocode each "
+                        "teacher-forced predicted mel and MCD the result "
+                        "vs the ground-truth mel.  Accepts an upstream "
+                        "HiFi-GAN dir (config.json + g_*) or a gen_*.spev "
+                        "from spev-vocoder-train (pair with --gen_config)")
+    p.add_argument("--gen_config", default="v3", choices=["v1", "v3"],
+                   help="generator architecture for a gen_*.spev --vocoder")
     p.add_argument("--json", default=None, help="also write the full result here")
     add_cache_flags(p)
     args = p.parse_args(argv)
@@ -63,8 +71,23 @@ def main(argv=None) -> None:
             raise UserError(f"the {args.split} split is empty "
                             f"({len(ds)} utterances, val_frac {args.val_frac})")
 
+    vocoder = None
+    if args.vocoder:
+        from spev_tpu.infer.vocoder import Vocoder
+
+        if args.vocoder.endswith(".spev"):
+            from spev_tpu.models.hifigan import HiFiGANConfig, HiFiGANGenerator
+            from spev_tpu.train.checkpoint import load_params
+
+            gparams, _, _ = load_params(args.vocoder)
+            gcfg = (HiFiGANConfig() if args.gen_config == "v1"
+                    else HiFiGANConfig.v3())
+            vocoder = Vocoder(generator=HiFiGANGenerator(gcfg, gparams))
+        else:
+            vocoder = Vocoder(args.vocoder)
+
     res = evaluate_checkpoint(args.checkpoint, ds, indices=indices,
-                              batch_size=args.batch_size)
+                              batch_size=args.batch_size, vocoder=vocoder)
     a = res["aggregate"]
     print(f"evaluated {a['n_utterances']} utterances "
           f"({args.split} split of {len(ds)}; {a['n_skipped']} over-bucket)")
@@ -81,6 +104,11 @@ def main(argv=None) -> None:
               f"{a['f0_rmse_hz_median']:.2f} Hz median "
               f"[reference target < 20 Hz: "
               f"{'PASS' if a['meets_f0_target_20hz'] else 'not met'}]")
+    if "vocoded_mcd_db_mean" in a:
+        print(f"  vocoded MCD:    {a['vocoded_mcd_db_mean']:.2f} dB mean / "
+              f"{a['vocoded_mcd_db_median']:.2f} dB median "
+              f"[serving condition; target < 6.0 dB: "
+              f"{'PASS' if a['meets_vocoded_mcd_target_6db'] else 'not met'}]")
     if args.json:
         with open(args.json, "w") as f:
             json.dump(res, f, indent=1)

@@ -31,6 +31,8 @@ from spev_tpu.config import ModelConfig
 from spev_tpu.models.fastspeech2 import apply_fastspeech2
 from spev_tpu.text.vocab import Vocab, pick_bucket
 
+_FX: list = [None]  # lazy FeatureExtractor for vocoded scoring
+
 
 def evaluate_checkpoint(
     checkpoint: str,
@@ -40,12 +42,20 @@ def evaluate_checkpoint(
     batch_size: int = 8,
     phoneme_buckets: Sequence[int] = (64, 128, 256),
     frame_buckets: Sequence[int] = (256, 512, 1024, 2048),
+    vocoder=None,
 ) -> dict:
     """Evaluate ``checkpoint`` on utterances ``indices`` of ``ds`` (all by
     default).  Returns ``{"per_utterance": {i: {mcd_db, dur_err_pct,
     frames}}, "aggregate": {...}, "skipped": [...]}``; aggregate carries
     mean/median MCD, mean duration error, and pass flags vs the
-    reference's documented targets."""
+    reference's documented targets.
+
+    With ``vocoder`` (a `spev_tpu.infer.vocoder.Vocoder`), each
+    teacher-forced predicted mel is also VOCODED and the waveform's
+    re-extracted mel scored against the ground-truth mel
+    (``vocoded_mcd_db``) — the serving condition: what a listener hears,
+    including the acoustic→vocoder mismatch that GTA fine-tuning targets
+    (docs/QUALITY.md)."""
     from spev_tpu.data.batching import collate
     from spev_tpu.diag.quality import duration_error_pct, mel_cepstral_distortion
     from spev_tpu.infer.synthesis import _load_any_checkpoint
@@ -139,6 +149,18 @@ def evaluate_checkpoint(
                         pred_durs[row], tgt_durs)), 3),
                     "frames": int(gt.shape[0]),
                 }
+                if vocoder is not None:
+                    if _FX[0] is None:
+                        from spev_tpu.config import AudioConfig
+                        from spev_tpu.data.dataset import FeatureExtractor
+
+                        _FX[0] = FeatureExtractor(AudioConfig(),
+                                                  use_pallas=False)
+                    wav = np.asarray(vocoder.infer(mel[row, :L]))
+                    mel_v = np.asarray(_FX[0].mel(wav), np.float32).T
+                    Lv = min(L, mel_v.shape[0])
+                    per[i]["vocoded_mcd_db"] = round(float(
+                        mel_cepstral_distortion(mel_v[:Lv], gt[:Lv])), 3)
                 # F0 RMSE (Hz): denormalize z-scored log-F0 via the stats;
                 # exclude padding and unvoiced-target phonemes (exact 0.0 z)
                 if p_stats is not None:
@@ -166,9 +188,16 @@ def evaluate_checkpoint(
     if f0s:
         agg["f0_rmse_hz_mean"] = round(statistics.mean(f0s), 3)
         agg["f0_rmse_hz_median"] = round(statistics.median(f0s), 3)
+    vmcds = [v["vocoded_mcd_db"] for v in per.values()
+             if "vocoded_mcd_db" in v and np.isfinite(v["vocoded_mcd_db"])]
+    if vmcds:
+        agg["vocoded_mcd_db_mean"] = round(statistics.mean(vmcds), 3)
+        agg["vocoded_mcd_db_median"] = round(statistics.median(vmcds), 3)
     # the reference's documented targets (PRODUCTION_SYSTEM_SUMMARY.md:227-231)
     agg["meets_mcd_target_6db"] = bool(mcds and agg["mcd_db_mean"] < 6.0)
     agg["meets_dur_err_target_10pct"] = bool(errs and agg["dur_err_pct_mean"] < 10.0)
     if f0s:
         agg["meets_f0_target_20hz"] = bool(agg["f0_rmse_hz_mean"] < 20.0)
+    if vmcds:
+        agg["meets_vocoded_mcd_target_6db"] = bool(agg["vocoded_mcd_db_mean"] < 6.0)
     return {"per_utterance": per, "aggregate": agg, "skipped": skipped}

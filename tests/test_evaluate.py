@@ -85,3 +85,37 @@ def test_eval_cli_json_and_split(corpus_ckpt, tmp_path, capsys):
     main(["--checkpoint", ckpt, "--data_dir", root, "--cache_dir", cache,
           "--split", "val", "--batch_size", "2"])
     assert "evaluated 1 utterances" in capsys.readouterr().out
+
+
+def test_evaluate_with_vocoder_scores_serving_condition(corpus_ckpt):
+    """vocoder= adds vocoded_mcd_db per utterance (vocode the predicted
+    mel, re-extract, MCD vs gt mel) + the serving-condition aggregate."""
+    import jax
+
+    from spev_tpu.infer.evaluate import evaluate_checkpoint
+    from spev_tpu.infer.vocoder import Vocoder
+    from spev_tpu.models.hifigan import (
+        HiFiGANConfig,
+        HiFiGANGenerator,
+        init_hifigan,
+    )
+
+    tiny = HiFiGANConfig(
+        resblock="2", upsample_rates=(8, 8, 4), upsample_kernel_sizes=(16, 16, 8),
+        upsample_initial_channel=16, resblock_kernel_sizes=(3,),
+        resblock_dilation_sizes=((1, 2),), num_mels=80,
+    )
+    voc = Vocoder(generator=HiFiGANGenerator(
+        tiny, init_hifigan(jax.random.PRNGKey(0), tiny)),
+        frame_buckets=(128,))
+
+    root, cache, ds, ckpt = corpus_ckpt
+    res = evaluate_checkpoint(ckpt, ds, indices=[0, 1], batch_size=2,
+                              phoneme_buckets=(64,), frame_buckets=(128,),
+                              vocoder=voc)
+    per, agg = res["per_utterance"], res["aggregate"]
+    for v in per.values():
+        assert np.isfinite(v["vocoded_mcd_db"]) and v["vocoded_mcd_db"] > 0
+    assert "vocoded_mcd_db_mean" in agg
+    # a random generator is far from the target
+    assert agg["meets_vocoded_mcd_target_6db"] is False
