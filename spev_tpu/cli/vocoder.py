@@ -157,6 +157,9 @@ def main(argv=None) -> None:
 
     add_cache_flags(p)
     args = p.parse_args(argv)
+    if args.disc_warmup >= args.steps:
+        raise UserError(f"--disc_warmup {args.disc_warmup} must be < --steps "
+                        f"{args.steps} (warmup steps never save a generator)")
 
     from spev_tpu.utils.cache import enable_compilation_cache
 
