@@ -136,6 +136,13 @@ def main(argv=None) -> None:
                         "and upstream HiFi-GAN itself trains under fp16 AMP; "
                         "f32 params/optimizer are kept either way); 'high' = "
                         "bf16x3 parity-grade matmuls")
+    p.add_argument("--mel_weight", type=float, default=45.0,
+                   help="weight of the mel-L1 term in L_G (upstream 45); "
+                        "raise for a final mel-fidelity polish phase at "
+                        "some cost in adversarial texture")
+    p.add_argument("--fm_weight", type=float, default=2.0,
+                   help="weight of the feature-matching term in L_G "
+                        "(upstream 2)")
     p.add_argument("--mesh", type=int, default=1,
                    help="data-parallel devices: shard each crop batch over "
                         "an N-device 'data' mesh (GAN state replicated; "
@@ -272,7 +279,8 @@ def main(argv=None) -> None:
         mesh = make_mesh((args.mesh,), ("data",))
         print(f"data-parallel over {args.mesh} devices")
     step = make_vocoder_train_step(cfg, audio, periods=periods, lr=args.lr,
-                                   mesh=mesh)
+                                   mesh=mesh, fm_weight=args.fm_weight,
+                                   mel_weight=args.mel_weight)
     ckpt_dir = os.path.join("checkpoints", args.name)
     log_dir = os.path.join("logs", args.name)
     os.makedirs(ckpt_dir, exist_ok=True)
