@@ -43,6 +43,23 @@ DEFAULT_PHONEME_BUCKETS = (64, 128, 256)
 DEFAULT_FRAME_BUCKETS = (256, 512, 1024, 2048)
 
 
+def pcm16_host(wav: np.ndarray) -> np.ndarray:
+    """float waveform → int16 PCM samples (the WAV-writer convention:
+    clip to [-1, 1], scale by 32767, truncate toward zero)."""
+    return (np.clip(np.asarray(wav, np.float32), -1.0, 1.0)
+            * 32767.0).astype(np.int16)
+
+
+@jax.jit
+def _pcm16_device(wav):
+    """The same conversion on device: fetching int16 moves 4× less data
+    over the device→host link than float32 (and float→int convert in XLA
+    truncates toward zero, matching numpy's astype), so serving paths
+    that only ship PCM bytes never pay the float transfer."""
+    w = jnp.clip(wav.astype(jnp.float32), -1.0, 1.0) * 32767.0
+    return w.astype(jnp.int16)
+
+
 def _control(value, B: int):
     """A d/p/e control as a traced graph input: scalar (whole batch) or a
     length-B vector (per request) — broadcast as (B, 1) against (B, P)
@@ -627,6 +644,8 @@ class Synthesizer:
         batch_size: int = 16,
         frame_bucket: Optional[int] = None,
         two_phase: bool = False,
+        want_mel: bool = True,
+        pcm16: bool = False,
         **controls,
     ):
         """Batched long-form synthesis over a transcript set (the reference
@@ -650,10 +669,27 @@ class Synthesizer:
         instead of the largest bucket, with zero extra host syncs — the
         mel_len fetch that slicing needs anyway doubles as the saturation
         check, and a group whose length regulator saturated its bucket is
-        re-run at the next one (rare: the estimate overshoots)."""
+        re-run at the next one (rare: the estimate overshoots).
+
+        ``want_mel=False`` skips the mel device→host copy entirely (mel
+        slots in the result are None) and ``pcm16=True`` converts the
+        waveform to int16 ON DEVICE before fetching — together the
+        serving condition (an HTTP endpoint ships PCM bytes and discards
+        mel) moves ~4× less data over the device→host link, which is the
+        dominant residue on tunneled/remote devices (docs/BENCH.md)."""
         phones = [self.g2p.phonemes(t) for t in texts]
         ids_list = [self.phonemes_to_ids(p) for p in phones]
         results: list = [None] * len(texts)
+
+        def _post(row):
+            """Apply want_mel/pcm16 to a host-side (wav, mel) row (the
+            Griffin-Lim, over-bucket and two-phase paths — the batched
+            device path converts on device instead)."""
+            wav, mel = row
+            if pcm16:
+                wav = pcm16_host(wav)
+            return (wav, mel if want_mel else None)
+
         # voice-quality scalars (reference `infer_tts` surface) become
         # row-constant per-phoneme control tracks; scalar or one value per
         # text.  Scale vectors (len == len(texts)) are sliced per group.
@@ -677,7 +713,7 @@ class Synthesizer:
                         if k.endswith("_scale") and np.ndim(v) == 1 else v)
                     for k, v in controls.items()
                 }
-                results[i] = self.synthesize_ids(ids, **row_q, **row_c)
+                results[i] = _post(self.synthesize_ids(ids, **row_q, **row_c))
             return results
 
         hop = self.vocoder.generator.cfg.hop_recovery
@@ -723,9 +759,9 @@ class Synthesizer:
                     row_kw[k] = float(per_req[k][i])
                 elif k in controls:
                     row_kw[k] = float(np.asarray(controls[k]))
-            results[i] = self.synthesize_ids(
+            results[i] = _post(self.synthesize_ids(
                 ids_list[i], frame_bucket=frame_bucket, **row_kw
-            )
+            ))
         order = sorted((i for i in range(len(texts)) if i not in long_set),
                        key=lambda i: len(ids_list[i]))
 
@@ -782,7 +818,7 @@ class Synthesizer:
                     ids_b, lens, frame_bucket=M, **g_controls
                 )
                 for row, i in enumerate(group):
-                    results[i] = rows[row]
+                    results[i] = _post(rows[row])
                 continue
             if frame_bucket is None:
                 d_scale = float(np.max(g_controls.get("duration_scale", 1.0)))
