@@ -60,13 +60,17 @@ def run_training(args, warmup_epochs: int = 0, model_overrides: Optional[dict] =
     from spev_tpu.train.trainer import Trainer
 
     multi_speaker = bool(getattr(args, "multi_speaker", False))
+    emotion_labels = bool(getattr(args, "emotion_labels", False))
     ds = SpevDataset(
         args.data_dir,
         textgrid_dir=getattr(args, "textgrid_dir", None),
         cache_dir=getattr(args, "cache_dir", "cache_spev"),
         force_rebuild=getattr(args, "force_rebuild", False),
         multi_speaker=multi_speaker,
+        emotion_vad=emotion_labels,
     )
+    if emotion_labels and getattr(ds, "emotions", None):
+        print(f"Emotion-VAD labels: {', '.join(ds.emotions)}")
     vocab = Vocab(ds.vocab)
     print(f"Dataset: {len(ds)} utterances, vocab {len(vocab)}")
 

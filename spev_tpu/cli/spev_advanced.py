@@ -31,6 +31,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="derive speaker labels from filename prefixes "
                         "({speaker}_*.wav) and train a speaker embedding; "
                         "synthesize with --speaker")
+    p.add_argument("--emotion_labels", action="store_true",
+                   help="derive emotion labels from filename suffixes "
+                        "(*_{emotion}.wav, the ESD prepper convention) and "
+                        "train the VAD emotion embedding on the fixed "
+                        "emotion->VAD table; sweep at inference with "
+                        "--valence/--arousal/--dominance")
+    p.add_argument("--reference_predictors", action="store_true",
+                   help="keep the reference's LayerNorm(1) constant-output "
+                        "variance predictors (checkpoint-parity mode); by "
+                        "default this CLI trains functional per-phoneme "
+                        "predictors (vp_output_norm=False) — required for "
+                        "VAD/emphasis conditioning to steer prosody")
     # inference
     p.add_argument("--checkpoint", type=str, default="checkpoints/spev_advanced/best.spev")
     p.add_argument("--hifigan_dir", type=str, default="hifi-gan")
@@ -94,8 +106,13 @@ def main(argv=None) -> None:
     if args.mode == "train":
         # the documented advanced training surface: VAD conditioning + the
         # learned nasality channel (+0.1·L_nasal,
-        # PRODUCTION_SYSTEM_SUMMARY.md:133)
-        run_training(args, model_overrides={"use_vad": True, "use_nasality": True})
+        # PRODUCTION_SYSTEM_SUMMARY.md:133).  Functional variance
+        # predictors by default (the LayerNorm(1) parity quirk outputs a
+        # constant, which would sever VAD/emphasis from prosody).
+        overrides = {"use_vad": True, "use_nasality": True}
+        if not args.reference_predictors:
+            overrides["vp_output_norm"] = False
+        run_training(args, model_overrides=overrides)
     else:
         wav, mel = synthesize_advanced(args)
         write_outputs(wav, mel, args.output)

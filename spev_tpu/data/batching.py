@@ -66,9 +66,15 @@ def collate(
         out["nasal"] = np.zeros((B, max_phonemes), np.float32)
     if any("speaker_id" in u for u in utterances):
         out["speaker_ids"] = np.zeros((B,), np.int32)
+    if all("vad" in u for u in utterances):
+        # per-utterance (3,) emotion-VAD target (data/emotion.py); caches
+        # built without emotion labels simply omit the key
+        out["vad"] = np.zeros((B, 3), np.float32)
     for b, u in enumerate(utterances):
         if "speaker_ids" in out and "speaker_id" in u:
             out["speaker_ids"][b] = int(u["speaker_id"])
+        if "vad" in out:
+            out["vad"][b] = u["vad"]
         phs = [str(p) for p in u["phs"]]
         n = len(phs)
         t = int(u["mel"].shape[0])

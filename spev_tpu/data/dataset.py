@@ -207,13 +207,23 @@ class SpevDataset:
         min_samples: int = 4000,
         seed: int = 1234,
         multi_speaker: bool = False,
+        emotion_vad: bool = False,
     ):
         """multi_speaker: derive a speaker label from each basename's prefix
         before the first '_' (the LibriTTS-R convention; SURVEY.md §2.7
-        multi-speaker stretch) and store per-utterance speaker indices."""
+        multi-speaker stretch) and store per-utterance speaker indices.
+
+        emotion_vad: derive an emotion label from each basename's
+        ``*_{emotion}`` suffix (the ESD prepper convention,
+        `data.downloaders.prep_esd`) and store a per-utterance (3,) VAD
+        target via the fixed table `data.emotion.EMOTION_VAD` — the label
+        source that makes the advanced model's ``vad_proj`` trainable
+        (reference ``PRODUCTION_SYSTEM_SUMMARY.md:71-82,124-133``).
+        Unlabeled utterances get the neutral (0,0,0) target."""
         self.audio = audio
         self.cache_dir = cache_dir
         self.multi_speaker = multi_speaker
+        self.emotion_vad = emotion_vad
         meta_path = os.path.join(cache_dir, "metadata.json")
 
         if force_rebuild and os.path.exists(cache_dir):
@@ -228,10 +238,17 @@ class SpevDataset:
             # (e.g. device died) in an older version; rebuild instead of
             # silently training on nothing
             if meta["files"]:
+                if emotion_vad and "emotions" not in meta:
+                    raise UserError(
+                        f"cache at {cache_dir} was built without emotion-VAD "
+                        "labels; rebuild it (force_rebuild=True / "
+                        "--force_rebuild) to train the VAD pathway"
+                    )
                 self.files = meta["files"]
                 self.stats = meta["stats"]
                 self.vocab = meta["vocab"]
                 self.speakers = meta.get("speakers", [])
+                self.emotions = meta.get("emotions", [])
                 # per-utterance (n_phonemes, n_frames); caches built before
                 # the field existed return None and callers fall back to
                 # loading
@@ -240,6 +257,7 @@ class SpevDataset:
 
         fx = FeatureExtractor(audio)
         g2p = G2P(g2p_backend)
+        self._emotion_counts: dict = {}
         wavs = sorted(
             glob.glob(os.path.join(os.path.abspath(data_dir), "**", "*.wav"), recursive=True)
         )
@@ -366,6 +384,7 @@ class SpevDataset:
         )
         self.vocab = sorted(vocab_set)
         self.speakers = sorted(speaker_set)
+        self.emotions = sorted(self._emotion_counts)
         if multi_speaker:
             spk_to_id = {s: i for i, s in enumerate(self.speakers)}
             for path, spk in entries:
@@ -379,9 +398,13 @@ class SpevDataset:
         # atomic write: a crash mid-dump must not leave a truncated (or
         # empty) metadata.json that a later run would trust
         tmp_path = meta_path + ".tmp"
+        meta_out = {"files": self.files, "stats": self.stats, "vocab": self.vocab,
+                    "speakers": self.speakers, "lengths": self.lengths}
+        if emotion_vad:
+            meta_out["emotions"] = self.emotions
+            meta_out["emotion_counts"] = self._emotion_counts
         with open(tmp_path, "w") as f:
-            json.dump({"files": self.files, "stats": self.stats, "vocab": self.vocab,
-                       "speakers": self.speakers, "lengths": self.lengths}, f)
+            json.dump(meta_out, f)
         os.replace(tmp_path, meta_path)
 
     def _load(self, path: str) -> np.ndarray:
@@ -459,9 +482,18 @@ class SpevDataset:
             na.append(np.clip(0.5 + 0.25 * (tilt[sl].mean() - tilt_mu) / tilt_sd, 0.0, 1.0))
             cur += d
 
+        extra = {}
+        if self.emotion_vad:
+            from spev_tpu.data.emotion import (EMOTION_VAD,
+                                               emotion_from_basename)
+
+            emo = emotion_from_basename(basename) or "neutral"
+            self._emotion_counts[emo] = self._emotion_counts.get(emo, 0) + 1
+            extra["vad"] = np.asarray(EMOTION_VAD[emo], np.float32)
         path = os.path.join(self.cache_dir, f"u_{i:05d}.npz")
         np.savez(
             path,
+            **extra,
             phs=np.asarray(phs, dtype=object),
             durs=np.asarray(durs, np.int32),
             mel=mel.T.astype(np.float32),  # (T, n_mels) like the reference cache

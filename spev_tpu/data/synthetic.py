@@ -158,6 +158,22 @@ def _write_textgrid(path: str, phones: List[str], bounds_s: List[float]) -> None
         f.write("\n".join(lines) + "\n")
 
 
+def emotion_prosody(vad) -> Tuple[float, float, float]:
+    """Per-emotion prosody register (f0_mult, duration_mult, level_mult)
+    as an exact LOG-LINEAR function of the (V, A, D) coordinates, so the
+    advanced model's linear ``vad_proj`` can represent the corpus's
+    emotion→prosody map perfectly: arousal raises pitch/rate/energy,
+    valence brightens pitch slightly and low valence slows the rate,
+    dominance adds level (the directions of `agents.prosody.vad_to_knobs`
+    and the production-speech literature)."""
+    v, a, d = (float(x) for x in vad)
+    return (
+        float(np.exp(0.18 * a + 0.05 * v)),   # F0 register
+        float(np.exp(-0.12 * a - 0.05 * v)),  # speaking rate (duration)
+        float(np.exp(0.20 * a + 0.10 * d)),   # vocal effort (level)
+    )
+
+
 def speaker_voice(k: int, n_speakers: int) -> Tuple[float, float]:
     """Deterministic per-speaker voice: (f0_multiplier, formant_scale).
     Speakers spread over ~[0.72, 1.39]× F0 (≈ half an octave either way)
@@ -179,6 +195,7 @@ def generate_formant_corpus(
     duration_jitter: float = 0.05,
     textgrid_dir: Optional[str] = None,
     n_speakers: int = 1,
+    emotions: Optional[Tuple[str, ...]] = None,
 ) -> str:
     """Generate ``n_utterances`` wav + TextGrid pairs.  Returns the
     TextGrid directory (defaults to ``out_dir``/textgrids).
@@ -191,19 +208,40 @@ def generate_formant_corpus(
     voices (`speaker_voice`: F0 register + vocal-tract formant scaling)
     and named ``spk{k}_utt{u:04d}.*`` so ``SpevDataset(multi_speaker=True)``
     derives the speaker label from the basename prefix.
+
+    With ``emotions`` (a tuple of `data.emotion.EMOTION_VAD` names),
+    utterances are assigned round-robin to emotions; each emotion applies
+    its `emotion_prosody` register (F0 / rate / level shifts, log-linear
+    in the emotion's VAD coordinates) and the files are named
+    ``...utt{u:04d}_{emotion}.*`` so ``SpevDataset(emotion_vad=True)``
+    derives the label from the basename suffix — the offline corpus for
+    proving the trainable VAD pathway end-to-end.
     """
     os.makedirs(out_dir, exist_ok=True)
     tg_dir = textgrid_dir or os.path.join(out_dir, "textgrids")
     os.makedirs(tg_dir, exist_ok=True)
     rng = np.random.RandomState(seed)
+    if emotions:
+        from spev_tpu.data.emotion import EMOTION_VAD
+
+        unknown = [e for e in emotions if e not in EMOTION_VAD]
+        if unknown:
+            raise ValueError(f"unknown emotions {unknown}; known: "
+                             f"{sorted(EMOTION_VAD)}")
 
     for u in range(n_utterances):
         spk = u % max(1, n_speakers)
         f0_mult, fm_scale = speaker_voice(spk, n_speakers)
+        emo, dur_mult, lvl_mult = None, 1.0, 1.0
+        if emotions:
+            emo = emotions[u % len(emotions)]
+            e_f0, dur_mult, lvl_mult = emotion_prosody(EMOTION_VAD[emo])
+            f0_mult *= e_f0
         n_syll = rng.randint(syllable_range[0], syllable_range[1] + 1)
         phones = _sample_phone_seq(rng, n_syll)
         frames = [
-            max(2, int(round(_PHONES[p].mean_frames * np.exp(duration_jitter * rng.randn()))))
+            max(2, int(round(_PHONES[p].mean_frames * dur_mult
+                             * np.exp(duration_jitter * rng.randn()))))
             for p in phones
         ]
         total_frames = sum(frames)
@@ -232,11 +270,16 @@ def generate_formant_corpus(
 
                 ph = replace(ph, formants=tuple(
                     (f * fm_scale, bw) for f, bw in ph.formants))
-            y[cur : cur + n] = _phone_audio(ph, n, f0[cur : cur + n], sr, rng)
+            seg = _phone_audio(ph, n, f0[cur : cur + n], sr, rng)
+            if lvl_mult != 1.0 and ph.kind != "sil":
+                seg = np.clip(seg * lvl_mult, -1.0, 1.0)
+            y[cur : cur + n] = seg
             cur += n
             bounds.append(cur / sr)
 
         name = f"utt{u:04d}" if n_speakers <= 1 else f"spk{spk}_utt{u:04d}"
+        if emo is not None:
+            name = f"{name}_{emo}"
         write_wav(os.path.join(out_dir, f"{name}.wav"), y.astype(np.float32), sr)
         _write_textgrid(os.path.join(tg_dir, f"{name}.TextGrid"), phones, bounds)
         with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:

@@ -95,17 +95,32 @@ def _loss_fn(params, cfg: SpevConfig, batch, rng, variance_weight: float):
     )
     if cfg.model.use_nasality and "nasal" in batch:
         kw["target_nasal"] = batch["nasal"]
-    if "speaker_ids" in batch and "advanced" in params:
-        # multi-speaker training routes through the advanced wrapper
+    adv_kw = _advanced_batch_kw(params, batch)
+    if adv_kw:
         from spev_tpu.models.advanced import apply_advanced
 
         outputs = apply_advanced(
-            params, cfg.model, batch["ids"], batch["lens"],
-            speaker_ids=batch["speaker_ids"], **kw,
+            params, cfg.model, batch["ids"], batch["lens"], **adv_kw, **kw,
         )
     else:
         outputs = apply_fastspeech2(params, cfg.model, batch["ids"], batch["lens"], **kw)
     return compute_losses(outputs, batch, cfg.train, variance_weight)
+
+
+def _advanced_batch_kw(params, batch) -> dict:
+    """Conditioning inputs that route a train/eval batch through the
+    advanced wrapper: speaker ids (multi-speaker) and the per-utterance
+    emotion-VAD target (the trainable VAD pathway — the batch's ``vad``
+    feeds ``vad_proj`` so the emotion embedding receives gradient,
+    reference ``PRODUCTION_SYSTEM_SUMMARY.md:71-82,124-133``)."""
+    if "advanced" not in params:
+        return {}
+    kw = {}
+    if "speaker_ids" in batch:
+        kw["speaker_ids"] = batch["speaker_ids"]
+    if "vad" in batch and "vad_proj" in params["advanced"]:
+        kw["vad"] = batch["vad"]
+    return kw
 
 
 def _resolve_dropout_impl(cfg: SpevConfig) -> str:
@@ -272,12 +287,12 @@ def make_eval_step(cfg: SpevConfig, mesh, params_example, batch_keys=None) -> Ca
         )
         if cfg.model.use_nasality and "nasal" in batch:
             kw["target_nasal"] = batch["nasal"]
-        if "speaker_ids" in batch and "advanced" in params:
+        adv_kw = _advanced_batch_kw(params, batch)
+        if adv_kw:
             from spev_tpu.models.advanced import apply_advanced
 
             outputs = apply_advanced(
-                params, cfg.model, batch["ids"], batch["lens"],
-                speaker_ids=batch["speaker_ids"], **kw,
+                params, cfg.model, batch["ids"], batch["lens"], **adv_kw, **kw,
             )
         else:
             outputs = apply_fastspeech2(params, cfg.model, batch["ids"], batch["lens"], **kw)
