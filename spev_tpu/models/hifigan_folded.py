@@ -53,11 +53,44 @@ from spev_tpu.models.hifigan import LRELU_SLOPE, HiFiGANConfig
 _TARGET_CHANNELS = 128
 
 
-def _fold_regular(w: np.ndarray, d: int, r: int) -> tuple[np.ndarray, int, int, int]:
+def _regular_taps(K: int, d: int, r: int):
+    """Static tap placement for a folded dilated conv: (m_min, m_max,
+    entries) with entries = [(m, q, p, t)] meaning folded-kernel position
+    m takes original tap t into the (q·I, p·O) block."""
+    pad = (K - 1) * d // 2
+    taps = {}
+    for p in range(r):
+        for t in range(K):
+            m, q = divmod(p - pad + t * d, r)
+            taps.setdefault(m, []).append((q, p, t))
+    flat = [(m, q, p, t) for m, es in taps.items() for q, p, t in es]
+    return min(taps), max(taps), flat
+
+
+def _transpose_taps(K: int, u: int, r_in: int):
+    """Static tap placement for a folded transposed conv (see
+    `_fold_transpose`)."""
+    pad = (K - u) // 2
+    taps = {}
+    for P in range(r_in * u):
+        for t in range(K):
+            num = P + pad - t
+            if num % u:
+                continue
+            m, rho = divmod(num // u, r_in)
+            taps.setdefault(m, []).append((rho, P, t))
+    flat = [(m, rho, P, t) for m, es in taps.items() for rho, P, t in es]
+    return min(taps), max(taps), flat
+
+
+def _fold_regular(w, d: int, r: int, xp=np):
     """Torch-layout (O, I, K) dilated 'same' conv → folded HIO kernel.
 
     Returns (wf (K', r·I, r·O), pad_lo, pad_hi, rhs_dil) for a stride-1
-    conv in the r-folded domain.
+    conv in the r-folded domain.  ``xp=np`` materializes host-side;
+    ``xp=jnp`` builds the same scatter as traced ops, so the fold is
+    differentiable w.r.t. ``w`` (training through the folded graph — the
+    backward of each static-slice scatter is a gather).
 
     At fold r=1 the dilation is NOT scattered into a dense (K−1)·d+1
     kernel — that would execute up to 4.6× the intrinsic FLOPs in zeros
@@ -68,41 +101,37 @@ def _fold_regular(w: np.ndarray, d: int, r: int) -> tuple[np.ndarray, int, int, 
     O, I, K = w.shape
     if r == 1 and d > 1:
         pad = (K - 1) * d // 2
-        return np.ascontiguousarray(w.T), pad, (K - 1) * d - pad, d
-    pad = (K - 1) * d // 2
-    taps = {}
-    for p in range(r):
-        for t in range(K):
-            m, q = divmod(p - pad + t * d, r)
-            taps.setdefault(m, []).append((q, p, t))
-    m_min, m_max = min(taps), max(taps)
-    wf = np.zeros((m_max - m_min + 1, r * I, r * O), np.float32)
-    for m, entries in taps.items():
-        for q, p, t in entries:
+        wt = np.ascontiguousarray(w.T) if xp is np else jnp.transpose(w, (2, 1, 0))
+        return wt, pad, (K - 1) * d - pad, d
+    m_min, m_max, entries = _regular_taps(K, d, r)
+    shape = (m_max - m_min + 1, r * I, r * O)
+    if xp is np:
+        wf = np.zeros(shape, np.float32)
+        for m, q, p, t in entries:
             wf[m - m_min, q * I : (q + 1) * I, p * O : (p + 1) * O] = w[:, :, t].T
+    else:
+        wf = jnp.zeros(shape, w.dtype)
+        for m, q, p, t in entries:
+            wf = wf.at[m - m_min, q * I : (q + 1) * I, p * O : (p + 1) * O].set(w[:, :, t].T)
     return wf, -m_min, m_max, 1
 
 
-def _fold_transpose(w: np.ndarray, u: int, r_in: int) -> tuple[np.ndarray, int, int]:
+def _fold_transpose(w, u: int, r_in: int, xp=np):
     """Torch-layout (I, O, K) ConvTranspose1d(stride=u, padding=(K-u)//2)
     with r_in-folded input → folded HIO kernel producing an r_in·u-folded
-    output.  Returns (wf (K', r_in·I, r_in·u·O), pad_lo, pad_hi, rhs_dil=1)."""
+    output.  Returns (wf (K', r_in·I, r_in·u·O), pad_lo, pad_hi, rhs_dil=1).
+    ``xp=jnp`` builds a traced (differentiable) kernel."""
     I, O, K = w.shape
-    pad = (K - u) // 2
-    r_out = r_in * u
-    taps = {}
-    for P in range(r_out):
-        for t in range(K):
-            num = P + pad - t
-            if num % u:
-                continue
-            m, rho = divmod(num // u, r_in)
-            taps.setdefault(m, []).append((rho, P, t))
-    m_min, m_max = min(taps), max(taps)
-    wf = np.zeros((m_max - m_min + 1, r_in * I, r_out * O), np.float32)
-    for m, entries in taps.items():
-        for rho, P, t in entries:
+    m_min, m_max, entries = _transpose_taps(K, u, r_in)
+    shape = (m_max - m_min + 1, r_in * I, (r_in * u) * O)
+    if xp is np:
+        wf = np.zeros(shape, np.float32)
+        for m, rho, P, t in entries:
             wf[m - m_min, rho * I : (rho + 1) * I, P * O : (P + 1) * O] = w[:, :, t]
+    else:
+        wf = jnp.zeros(shape, w.dtype)
+        for m, rho, P, t in entries:
+            wf = wf.at[m - m_min, rho * I : (rho + 1) * I, P * O : (P + 1) * O].set(w[:, :, t])
     return wf, -m_min, m_max, 1
 
 
@@ -125,13 +154,13 @@ class FoldedConv:
 
 
 def _pack(wf, pad_lo, pad_hi, bias, r_out, dtype, dil=1, fold=None):
-    return FoldedConv(
-        jnp.asarray(wf.astype(np.float32), dtype=dtype),
-        jnp.asarray(np.tile(np.asarray(bias, np.float32), r_out), dtype=dtype),
-        (int(pad_lo), int(pad_hi)),
-        int(dil),
-        fold,
-    )
+    if isinstance(wf, np.ndarray):  # host-side fold
+        wf = jnp.asarray(wf.astype(np.float32), dtype=dtype)
+        bf = jnp.asarray(np.tile(np.asarray(bias, np.float32), r_out), dtype=dtype)
+    else:  # traced (differentiable) fold
+        wf = wf.astype(dtype)
+        bf = jnp.tile(bias.astype(dtype), r_out)
+    return FoldedConv(wf, bf, (int(pad_lo), int(pad_hi)), int(dil), fold)
 
 
 def _np(x) -> np.ndarray:
@@ -157,7 +186,9 @@ def stage_folds(cfg: HiFiGANConfig) -> list[int]:
     return folds
 
 
-def fold_hifigan(params: dict, cfg: HiFiGANConfig, unfold_dilated: bool = False) -> dict:
+def fold_hifigan(
+    params: dict, cfg: HiFiGANConfig, unfold_dilated: bool = False, traced: bool = False
+) -> dict:
     """One-time host-side weight folding.  The returned tree is consumed by
     `apply_hifigan_folded`; dtype follows the input params (bf16 serving
     weights stay bf16).
@@ -165,7 +196,16 @@ def fold_hifigan(params: dict, cfg: HiFiGANConfig, unfold_dilated: bool = False)
     ``unfold_dilated``: run dilated resblock convs of folded stages (r>1)
     in the unfolded domain with ``rhs_dilation`` (zero redundant FLOPs,
     narrower channels) instead of scattering them into dense folded
-    kernels.  Refolds around each conv are free reshapes."""
+    kernels.  Refolds around each conv are free reshapes.
+
+    ``traced=True`` builds the folded kernels with jnp ops instead of
+    host-side numpy, so the fold is DIFFERENTIABLE w.r.t. ``params`` and
+    can run inside a jitted train step: the GAN trainer executes its
+    forward/backward through the MXU-shaped folded graph while gradients
+    flow back to the canonical torch-layout weights (the scatter's
+    backward is a gather — weight-sized, negligible)."""
+    xp = jnp if traced else np
+    host = (lambda x: x) if traced else _np
     dtype = params["conv_pre"]["weight"].dtype
     folds = stage_folds(cfg)
     out = {}
@@ -173,22 +213,23 @@ def fold_hifigan(params: dict, cfg: HiFiGANConfig, unfold_dilated: bool = False)
     def _pack_regular(w, d, r, bias):
         if unfold_dilated and r > 1 and d > 1:
             pad = (w.shape[2] - 1) * d // 2
-            return _pack(np.ascontiguousarray(w.T), pad, pad, bias, 1, dtype,
-                         dil=d, fold=1)
-        wf, lo, hi, rd = _fold_regular(w, d, r)
+            wt = (jnp.transpose(w, (2, 1, 0)) if traced
+                  else np.ascontiguousarray(w.T))
+            return _pack(wt, pad, pad, bias, 1, dtype, dil=d, fold=1)
+        wf, lo, hi, rd = _fold_regular(w, d, r, xp=xp)
         return _pack(wf, lo, hi, bias, r, dtype, rd)
 
-    w = _np(params["conv_pre"]["weight"])
-    wf, lo, hi, dil = _fold_regular(w, 1, 1)
-    out["conv_pre"] = _pack(wf, lo, hi, _np(params["conv_pre"]["bias"]), 1, dtype, dil)
+    w = host(params["conv_pre"]["weight"])
+    wf, lo, hi, dil = _fold_regular(w, 1, 1, xp=xp)
+    out["conv_pre"] = _pack(wf, lo, hi, host(params["conv_pre"]["bias"]), 1, dtype, dil)
 
     ups, stages = [], []
     r_in = 1
     n_kernels = len(cfg.resblock_kernel_sizes)
     for i, u in enumerate(cfg.upsample_rates):
-        w = _np(params["ups"][i]["weight"])  # (I, O, K)
-        wf, lo, hi, _ = _fold_transpose(w, u, r_in)
-        ups.append(_pack(wf, lo, hi, _np(params["ups"][i]["bias"]), r_in * u, dtype))
+        w = host(params["ups"][i]["weight"])  # (I, O, K)
+        wf, lo, hi, _ = _fold_transpose(w, u, r_in, xp=xp)
+        ups.append(_pack(wf, lo, hi, host(params["ups"][i]["bias"]), r_in * u, dtype))
         r = folds[i]
         blocks = []
         for j in range(n_kernels):
@@ -198,24 +239,24 @@ def fold_hifigan(params: dict, cfg: HiFiGANConfig, unfold_dilated: bool = False)
                 convs1, convs2 = [], []
                 for di, d in enumerate(dil):
                     convs1.append(_pack_regular(
-                        _np(rb["convs1"][di]["weight"]), d, r, _np(rb["convs1"][di]["bias"])))
+                        host(rb["convs1"][di]["weight"]), d, r, host(rb["convs1"][di]["bias"])))
                     convs2.append(_pack_regular(
-                        _np(rb["convs2"][di]["weight"]), 1, r, _np(rb["convs2"][di]["bias"])))
+                        host(rb["convs2"][di]["weight"]), 1, r, host(rb["convs2"][di]["bias"])))
                 blocks.append({"convs1": convs1, "convs2": convs2})
             else:
                 convs = []
                 for di, d in enumerate(dil):
                     convs.append(_pack_regular(
-                        _np(rb["convs"][di]["weight"]), d, r, _np(rb["convs"][di]["bias"])))
+                        host(rb["convs"][di]["weight"]), d, r, host(rb["convs"][di]["bias"])))
                 blocks.append({"convs": convs})
         stages.append(blocks)
         r_in = r
     out["ups"] = ups
     out["stages"] = stages
 
-    w = _np(params["conv_post"]["weight"])  # (1, C, 7)
-    wf, lo, hi, dil = _fold_regular(w, 1, r_in)
-    out["conv_post"] = _pack(wf, lo, hi, _np(params["conv_post"]["bias"]), r_in, dtype, dil)
+    w = host(params["conv_post"]["weight"])  # (1, C, 7)
+    wf, lo, hi, dil = _fold_regular(w, 1, r_in, xp=xp)
+    out["conv_post"] = _pack(wf, lo, hi, host(params["conv_post"]["bias"]), r_in, dtype, dil)
     return out
 
 

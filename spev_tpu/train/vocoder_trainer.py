@@ -85,14 +85,30 @@ def make_vocoder_train_step(
     periods=None,
     lr: float = 2e-4,
     mesh=None,
+    folded: bool = False,
+    fused: bool = False,
 ) -> Callable:
     """step(state, mel (B,T,M), wav (B,T·hop)) → (state, metrics).
 
-    D and G updates are SEPARATE jitted graphs (upstream order preserved:
-    D on the detached fake first, then G against the updated D) — one
-    monolithic graph doubles compile time on TPU for no runtime benefit.
+    By default D and G updates are SEPARATE jitted graphs (upstream order
+    preserved: D on the detached fake first, then G against the updated D).
     ``lr`` must match the one the state was initialized with (the schedule
     lives in the optimizer closure, the position in the opt state).
+
+    ``folded=True`` runs the generator's training forward/backward through
+    the polyphase-folded graph (`models/hifigan_folded.py`) with a TRACED
+    differentiable weight fold: the same arithmetic at MXU-shaped channel
+    widths, gradients flowing back to the canonical torch-layout params
+    (so checkpoints/export are unchanged).  Float-rounding-level output
+    differences vs the unfolded graph (contraction order); the loss
+    trajectory is equivalent (tests/test_vocoder_training.py).
+
+    ``fused=True`` replaces the two-dispatch step with ONE jitted graph
+    that computes the generator forward ONCE per step via `jax.vjp`
+    (upstream torch semantics exactly: y_g_hat is computed once, D updates
+    on its detached value, G's loss runs against the UPDATED D through the
+    same forward's saved residuals).  The split path pays a full extra
+    generator forward inside d_step every step.
 
     With ``mesh`` (a Mesh with a 'data' axis), the crop batch is sharded
     over 'data' and the GAN state is replicated — XLA emits the gradient
@@ -103,8 +119,20 @@ def make_vocoder_train_step(
     """
     opt = make_vocoder_optimizer(lr)
 
+    if folded:
+        from spev_tpu.models.hifigan_folded import (apply_hifigan_folded,
+                                                    fold_hifigan)
+
+        def gen_fwd(gp, mel):
+            return apply_hifigan_folded(
+                fold_hifigan(gp, cfg, traced=True), cfg, mel)
+    else:
+        def gen_fwd(gp, mel):
+            return apply_hifigan(gp, cfg, mel)
+
     d_jit: dict = {}
     g_jit: dict = {}
+    f_jit: dict = {}
     if mesh is not None:
         from spev_tpu.parallel.mesh import batch_sharding, replicated
 
@@ -114,6 +142,8 @@ def make_vocoder_train_step(
                      out_shardings=(rep, rep, rep))
         g_jit = dict(in_shardings=(rep, b_sh, b_sh),
                      out_shardings=(rep, rep, rep, rep))
+        f_jit = dict(in_shardings=(rep, b_sh, b_sh),
+                     out_shardings=(rep, rep))
 
     def d_loss_fn(disc_params, real, fake):
         # D loss: every sub-discriminator runs ONCE on concat([real, fake]).
@@ -131,13 +161,11 @@ def make_vocoder_train_step(
             loss = loss + jnp.mean((1.0 - l[:B]) ** 2) + jnp.mean(l[B:] ** 2)
         return loss
 
-    def g_loss_fn(gen_params, disc_params, mel, real):
-        fake = apply_hifigan(gen_params, cfg, mel)
-        # G loss: real and fake passes stay SEPARATE.  The grad here is
-        # w.r.t. gen_params only, and the real pass doesn't depend on them,
-        # so JAX builds no backward for it — a concat would drag the real
-        # half through every disc conv-transpose (input cotangents computed
-        # for 2B rows, half discarded at the concat transpose).
+    def g_loss_from_fake(fake, disc_params, real):
+        # G loss terms given an already-computed fake: real and fake
+        # disc passes stay SEPARATE (the real pass carries no gradient,
+        # so JAX builds no backward for it; a concat would drag the real
+        # half through every disc conv-transpose).
         outs_r = apply_discriminators(disc_params, real, periods=periods)
         outs_f = apply_discriminators(disc_params, fake, periods=periods)
         adv = 0.0
@@ -150,12 +178,16 @@ def make_vocoder_train_step(
         total = adv + fm_weight * fm + mel_weight * mel_l1
         return total, {"g_adv": adv, "g_fm": fm, "g_mel": mel_l1}
 
+    def g_loss_fn(gen_params, disc_params, mel, real):
+        fake = gen_fwd(gen_params, mel)
+        return g_loss_from_fake(fake, disc_params, real)
+
     # donate the state: params + both optimizer states are ~1.7 GB of HBM
     # round-tripped per update — in-place reuse removes the copy and the
     # double-capacity allocation (harmless no-op on CPU)
     @functools.partial(jax.jit, donate_argnums=(0,), **d_jit)
     def d_step(state: VocoderTrainState, mel, wav):
-        fake = jax.lax.stop_gradient(apply_hifigan(state.gen_params, cfg, mel))
+        fake = jax.lax.stop_gradient(gen_fwd(state.gen_params, mel))
         d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.disc_params, wav, fake)
         ok = jnp.isfinite(d_loss)
         d_grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), d_grads)
@@ -182,19 +214,64 @@ def make_vocoder_train_step(
             gen_opt=keep(state.gen_opt, g_opt),
         ), g_loss, aux, ok
 
-    def step(state: VocoderTrainState, mel, wav):
-        state, d_loss, d_ok = d_step(state, mel, wav)
-        state, g_loss, aux, g_ok = g_step(state, mel, wav)
+    @functools.partial(jax.jit, donate_argnums=(0,), **f_jit)
+    def dg_step(state: VocoderTrainState, mel, wav):
+        # ONE generator forward per step (upstream torch semantics): the
+        # vjp saves the forward's residuals, D updates on the detached
+        # fake, and G's backward reuses the residuals against the UPDATED
+        # discriminators — the split path pays a second full generator
+        # forward inside d_step instead.
+        fake, gen_vjp = jax.vjp(lambda gp: gen_fwd(gp, mel), state.gen_params)
+        keep = lambda ok: (
+            lambda old, new: jax.tree.map(lambda o, n: jnp.where(ok, n, o), old, new))
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(
+            state.disc_params, wav, jax.lax.stop_gradient(fake))
+        d_ok = jnp.isfinite(d_loss)
+        d_grads = jax.tree.map(lambda g: jnp.where(d_ok, g, jnp.zeros_like(g)), d_grads)
+        d_updates, d_opt = opt.update(d_grads, state.disc_opt, state.disc_params)
+        disc_params = keep(d_ok)(
+            state.disc_params, optax.apply_updates(state.disc_params, d_updates))
+        disc_opt = keep(d_ok)(state.disc_opt, d_opt)
+
+        (g_loss, aux), fake_ct = jax.value_and_grad(
+            g_loss_from_fake, has_aux=True)(fake, disc_params, wav)
+        (g_grads,) = gen_vjp(fake_ct)
+        g_ok = jnp.isfinite(g_loss)
+        g_grads = jax.tree.map(lambda g: jnp.where(g_ok, g, jnp.zeros_like(g)), g_grads)
+        g_updates, g_opt = opt.update(g_grads, state.gen_opt, state.gen_params)
+        gen_params = keep(g_ok)(
+            state.gen_params, optax.apply_updates(state.gen_params, g_updates))
+        gen_opt = keep(g_ok)(state.gen_opt, g_opt)
+
         ok = d_ok & g_ok
-        state = state._replace(step=state.step + ok.astype(jnp.int32))
         metrics = {"d_loss": d_loss, "g_loss": g_loss,
                    "skipped": 1.0 - ok.astype(jnp.float32), **aux}
-        return state, metrics
+        return VocoderTrainState(
+            gen_params=gen_params, disc_params=disc_params,
+            gen_opt=gen_opt, disc_opt=disc_opt,
+            step=state.step + ok.astype(jnp.int32),
+        ), metrics
 
-    # expose the two jitted graphs for profiling/MFU accounting
-    # (tools/tpu_vocoder_profile.py reads compiled cost_analysis off them)
+    if fused:
+        def step(state: VocoderTrainState, mel, wav):
+            return dg_step(state, mel, wav)
+    else:
+        def step(state: VocoderTrainState, mel, wav):
+            state, d_loss, d_ok = d_step(state, mel, wav)
+            state, g_loss, aux, g_ok = g_step(state, mel, wav)
+            ok = d_ok & g_ok
+            state = state._replace(step=state.step + ok.astype(jnp.int32))
+            metrics = {"d_loss": d_loss, "g_loss": g_loss,
+                       "skipped": 1.0 - ok.astype(jnp.float32), **aux}
+            return state, metrics
+
+    # expose the jitted graphs for profiling/MFU accounting and the
+    # discriminator-warmup path (tools/tpu_vocoder_profile.py reads
+    # compiled cost_analysis off them)
     step.d_step = d_step
     step.g_step = g_step
+    step.dg_step = dg_step
     return step
 
 
