@@ -671,12 +671,16 @@ class Synthesizer:
         check, and a group whose length regulator saturated its bucket is
         re-run at the next one (rare: the estimate overshoots).
 
-        ``want_mel=False`` skips the mel device→host copy entirely (mel
-        slots in the result are None) and ``pcm16=True`` converts the
-        waveform to int16 ON DEVICE before fetching — together the
-        serving condition (an HTTP endpoint ships PCM bytes and discards
-        mel) moves ~4× less data over the device→host link, which is the
-        dominant residue on tunneled/remote devices (docs/BENCH.md)."""
+        ``want_mel=False`` returns None mel slots and ``pcm16=True``
+        returns int16 waveforms, uniformly across every path.  On the
+        fused batched path (the default serving configuration) both are
+        applied ON DEVICE: the mel fetch is skipped and the waveform is
+        converted to int16 before the device→host copy, so the serving
+        condition (an HTTP endpoint ships PCM bytes and discards mel)
+        moves ~4× less data over the link — the dominant residue on
+        tunneled/remote devices (docs/BENCH.md).  The rarer routes
+        (Griffin-Lim, over-bucket chunking, ``two_phase``) apply the same
+        flags as host-side post-processing."""
         phones = [self.g2p.phonemes(t) for t in texts]
         ids_list = [self.phonemes_to_ids(p) for p in phones]
         results: list = [None] * len(texts)
@@ -772,9 +776,15 @@ class Synthesizer:
             escalated = False
             while True:
                 wav, mel, mel_len = outs
-                # overlap the three device->host copies (the wav alone is
-                # ~13 MB at B=16/M=768)
-                wav, mel, mel_len = fetch_overlapped(wav, mel, mel_len)
+                # overlap the device->host copies (the wav alone is ~13 MB
+                # at B=16/M=768 — 4× less as device-converted int16; the
+                # mel copy is skipped outright when the caller discards it)
+                if pcm16:
+                    wav = _pcm16_device(wav)
+                if want_mel:
+                    wav, mel, mel_len = fetch_overlapped(wav, mel, mel_len)
+                else:
+                    wav, mel_len = fetch_overlapped(wav, mel_len)
                 # mel_len == bucket ⇒ the length regulator may have
                 # truncated: escalate (unless already at the largest
                 # bucket or the caller pinned one)
@@ -796,7 +806,8 @@ class Synthesizer:
                 self._update_fpp(obs / max(d_scale, 0.1), escalated=escalated)
             for row, i in enumerate(group):
                 L = int(mel_len[row])
-                results[i] = (wav[row, : L * hop], mel[row, :L])
+                results[i] = (wav[row, : L * hop],
+                              mel[row, :L] if want_mel else None)
 
         # depth-1 software pipeline: group k+1 is DISPATCHED before group
         # k's outputs are fetched, so k's device->host transfer overlaps

@@ -389,6 +389,46 @@ def test_two_phase_matches_fused(tmp_path, tiny_gen):
         np.testing.assert_allclose(w1, w2, atol=1e-4)
 
 
+def test_synthesize_many_want_mel_pcm16_uniform(tmp_path, tiny_gen):
+    """want_mel/pcm16 must be honored UNIFORMLY across every route through
+    synthesize_many — the fused batched default (where both are applied on
+    device: mel fetch skipped, wav converted before the copy), two_phase,
+    Griffin-Lim, and the over-bucket chunked path — and the int16 samples
+    must equal the host-side conversion of the float run."""
+    from spev_tpu.infer.synthesis import pcm16_host
+
+    vocab = _vocab()
+    path, cfg = _make_ckpt(tmp_path, vocab)
+    synth = Synthesizer(path, model_cfg=cfg, g2p_backend="rules",
+                        phoneme_buckets=(32, 64), frame_buckets=(256, 512))
+    synth.vocoder = Vocoder(generator=tiny_gen)
+    # rows land on: fused batched, over-bucket chunked (>64 phonemes)
+    texts = ["short one", "mid length text here",
+             "one clause here, and another clause, then more words after "
+             "that, and still further clauses keep arriving here"]
+    assert len(synth.phonemes_to_ids(synth.g2p.phonemes(texts[-1]))) > 64
+
+    base = synth.synthesize_many(texts, batch_size=2)
+    for variant in (dict(two_phase=False), dict(two_phase=True)):
+        out = synth.synthesize_many(texts, batch_size=2,
+                                    want_mel=False, pcm16=True, **variant)
+        for (wf, mf), (wi, mi) in zip(base, out):
+            assert mi is None
+            assert wi.dtype == np.int16 and wi.shape == wf.shape
+            np.testing.assert_array_equal(wi, pcm16_host(wf))
+        assert all(m is not None and m.dtype == np.float32 for _, m in base)
+
+    # Griffin-Lim route (no neural vocoder) honors the flags too
+    gl = Synthesizer(path, hifigan_dir=None, model_cfg=cfg, g2p_backend="rules",
+                     phoneme_buckets=(32, 64), frame_buckets=(256, 512))
+    (wav_f, mel_f), = gl.synthesize_many([texts[0]], batch_size=1)
+    (wav_i, mel_i), = gl.synthesize_many([texts[0]], batch_size=1,
+                                         want_mel=False, pcm16=True)
+    assert mel_i is None and wav_i.dtype == np.int16
+    np.testing.assert_array_equal(wav_i, pcm16_host(wav_f))
+    assert mel_f is not None
+
+
 def test_data_parallel_serving_matches_single_device(tmp_path, tiny_gen):
     """Synthesizer(mesh=...) shards batched serving over the 'data' axis:
     outputs must equal the single-device run, and the batch must be
