@@ -143,6 +143,15 @@ def main(argv=None) -> None:
     p.add_argument("--fm_weight", type=float, default=2.0,
                    help="weight of the feature-matching term in L_G "
                         "(upstream 2)")
+    p.add_argument("--step_impl", default="fused_folded",
+                   choices=["fused_folded", "split_unfolded"],
+                   help="training-step implementation: 'fused_folded' (the "
+                        "default) runs ONE jitted graph per step with the "
+                        "generator forward computed once (jax.vjp) through "
+                        "the polyphase-folded MXU-shaped graph — same "
+                        "optimization to float tolerance, measured ~2x "
+                        "steps/s (docs/BENCH.md); 'split_unfolded' keeps "
+                        "the two-dispatch parity-grade graphs")
     p.add_argument("--mesh", type=int, default=1,
                    help="data-parallel devices: shard each crop batch over "
                         "an N-device 'data' mesh (GAN state replicated; "
@@ -278,9 +287,11 @@ def main(argv=None) -> None:
                             f"by --mesh {args.mesh}")
         mesh = make_mesh((args.mesh,), ("data",))
         print(f"data-parallel over {args.mesh} devices")
+    fast = args.step_impl == "fused_folded"
     step = make_vocoder_train_step(cfg, audio, periods=periods, lr=args.lr,
                                    mesh=mesh, fm_weight=args.fm_weight,
-                                   mel_weight=args.mel_weight)
+                                   mel_weight=args.mel_weight,
+                                   folded=fast, fused=fast)
     ckpt_dir = os.path.join("checkpoints", args.name)
     log_dir = os.path.join("logs", args.name)
     os.makedirs(ckpt_dir, exist_ok=True)

@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--segment_frames", type=int, default=32)
     ap.add_argument("--n_iter", type=int, default=20)
     ap.add_argument("--precisions", default="high,default")
+    ap.add_argument("--impls", default="split_unfolded,fused_folded",
+                    help="comma list of step implementations to profile: "
+                         "split_unfolded (two dispatches, canonical graph), "
+                         "fused_folded (one dispatch, generator forward "
+                         "computed once through the polyphase-folded graph), "
+                         "fused (one dispatch, unfolded), folded (two "
+                         "dispatches, folded)")
     args = ap.parse_args()
 
     info = probe_backend(probe_deadline=time.monotonic() + 120)
@@ -70,59 +77,56 @@ def main():
     wav = jnp.asarray(rng.normal(0, 0.1, (B, T * hop)), jnp.float32)
 
     peak = _peak_flops()
+    impls = {
+        "split_unfolded": dict(folded=False, fused=False),
+        "fused_folded": dict(folded=True, fused=True),
+        "fused": dict(folded=False, fused=True),
+        "folded": dict(folded=True, fused=False),
+    }
     rows = []
     for prec in (s.strip() for s in args.precisions.split(",") if s.strip()):
-        modules.set_matmul_precision(prec)
-        state = init_vocoder_train_state(jax.random.PRNGKey(0), cfg)
-        step = make_vocoder_train_step(cfg, audio)
+        for impl in (s.strip() for s in args.impls.split(",") if s.strip()):
+            kw = impls[impl]
+            modules.set_matmul_precision(prec)
+            state = init_vocoder_train_state(jax.random.PRNGKey(0), cfg)
+            step = make_vocoder_train_step(cfg, audio, **kw)
 
-        # FLOP counts first: d_step/g_step donate their state, so lower()
-        # must see it before any execution consumes its buffers
-        d_fl = _compiled_flops(step.d_step, state, mel, wav)
-        g_fl = _compiled_flops(step.g_step, state, mel, wav)
+            # FLOP counts first: the steps donate their state, so lower()
+            # must see it before any execution consumes its buffers.  The
+            # intrinsic (unfolded, per-update) FLOPs are the MFU numerator
+            # for every impl — the folded graph may execute slightly
+            # different FLOPs for the same arithmetic, and MFU must stay
+            # comparable across impls.
+            base = make_vocoder_train_step(cfg, audio)
+            d_fl = _compiled_flops(base.d_step, state, mel, wav)
+            g_fl = _compiled_flops(base.g_step, state, mel, wav)
 
-        # warm both graphs, force a real fetch through the relay
-        for _ in range(3):
-            state, metrics = step(state, mel, wav)
-        float(metrics["g_loss"])
+            # warm the graph(s), force a real fetch through the relay
+            for _ in range(3):
+                state, metrics = step(state, mel, wav)
+            float(metrics["g_loss"])
 
-        def run(fn, unpack, s):
-            """Time n_iter calls, threading the (donated) state; returns
-            (ms_per_call, final_state)."""
             t0 = time.perf_counter()
+            s = state
             for _ in range(args.n_iter):
-                out = fn(s, mel, wav)
-                s = unpack(out)
-            jax.tree.map(
-                lambda x: np.asarray(x).sum() if hasattr(x, "shape") else x,
-                out[1],
-            )
-            return (time.perf_counter() - t0) / args.n_iter * 1e3, s
-
-        d_ms, state = run(step.d_step, lambda o: o[0], state)
-        g_ms, state = run(step.g_step, lambda o: o[0], state)
-        t0 = time.perf_counter()
-        s = state
-        for _ in range(args.n_iter):
-            s, metrics = step(s, mel, wav)
-        float(metrics["g_loss"])
-        full_ms = (time.perf_counter() - t0) / args.n_iter * 1e3
-        mfu = None
-        if peak and d_fl and g_fl:
-            mfu = (d_fl + g_fl) / (full_ms / 1e3) / peak
-        row = {
-            "variant": f"vocoder/{args.config}/{prec}",
-            "batch": B, "segment_frames": T,
-            "d_ms": round(d_ms, 2), "g_ms": round(g_ms, 2),
-            "full_ms": round(full_ms, 2),
-            "steps_per_s": round(1e3 / full_ms, 2),
-            "mfu": round(mfu, 4) if mfu else None,
-            "flops_d": d_fl, "flops_g": g_fl,
-            "device": info.get("device_kind"),
-            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
-        }
-        rows.append(row)
-        print(json.dumps(row), flush=True)
+                s, metrics = step(s, mel, wav)
+            float(metrics["g_loss"])
+            full_ms = (time.perf_counter() - t0) / args.n_iter * 1e3
+            mfu = None
+            if peak and d_fl and g_fl:
+                mfu = (d_fl + g_fl) / (full_ms / 1e3) / peak
+            row = {
+                "variant": f"vocoder/{args.config}/{prec}/{impl}",
+                "batch": B, "segment_frames": T,
+                "full_ms": round(full_ms, 2),
+                "steps_per_s": round(1e3 / full_ms, 2),
+                "mfu": round(mfu, 4) if mfu else None,
+                "flops_d": d_fl, "flops_g": g_fl,
+                "device": info.get("device_kind"),
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
 
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "train_profile.jsonl")
