@@ -290,3 +290,69 @@ def test_response_cache_serves_identical_bytes_and_counts_hits(server, tmp_path_
         assert rc == {"size": 2, "max": 8, "hits": 1, "misses": 2}
     finally:
         srv.shutdown()
+
+
+def test_concurrency_soak_mixed_requests(tmp_path_factory):
+    """Serving soak (VERDICT r3 #9): N threads firing a MIX of request
+    kinds — plain /synthesize, /synthesize_stream, and repeated texts that
+    hit the LRU response cache — against one server.  Every response must
+    be a valid 200 WAV, and identical (text, controls) must return
+    byte-identical audio whether served fresh, coalesced, or cached."""
+    vocab = Vocab.build([chr(c) for c in range(ord("a"), ord("p"))] + [" "])
+    cfg = ModelConfig(vocab_size=len(vocab), embed_dim=32, hidden_dim=32, n_mels=80)
+    params = init_fastspeech2(jax.random.PRNGKey(0), cfg)
+    params["duration_predictor"]["output_norm"]["bias"] = jnp.asarray([1.2])
+    path = str(tmp_path_factory.mktemp("soak") / "m.spev")
+    save_checkpoint(path, params, vocab=vocab.symbols, stats={})
+    synth = Synthesizer(path, hifigan_dir=None, model_cfg=cfg, g2p_backend="rules",
+                        phoneme_buckets=(64,), frame_buckets=(256,))
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler(synth, threading.Lock(), response_cache=16))
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    texts = ["alpha one", "bravo two", "charlie three", "delta four"]
+    N = 24
+    results: list = [None] * N
+    errors: list = []
+
+    def post(i):
+        kind = i % 3
+        text = texts[i % len(texts)]
+        try:
+            if kind == 2:
+                req = urllib.request.Request(
+                    base + "/synthesize_stream",
+                    data=json.dumps({"text": text}).encode(),
+                    headers={"Content-Type": "application/json"})
+            else:
+                req = urllib.request.Request(
+                    base + "/synthesize",
+                    data=json.dumps({"text": text, "pitch_scale": 1.0}).encode(),
+                    headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                assert r.status == 200
+                results[i] = (kind, text, r.read())
+        except Exception as e:  # surface in the main thread
+            errors.append((i, repr(e)))
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(N)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    srv.shutdown()
+    assert not errors, errors
+    by_key: dict = {}
+    for kind, text, body in results:
+        # every body is a parseable non-empty WAV
+        with wave.open(io.BytesIO(body)) as w:
+            assert w.getnframes() > 0
+            assert w.getnchannels() == 1
+        # identical non-stream requests must serve identical bytes
+        # (fresh vs cache-hit must be indistinguishable)
+        if kind != 2:
+            by_key.setdefault(text, body)
+            assert by_key[text] == body
+    assert len(by_key) == len(texts)

@@ -491,3 +491,39 @@ def test_concurrent_synthesize_ids_threads(tmp_path, tiny_gen):
         np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-5)
         np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-4)
     assert np.isfinite(synth._fpp) and synth._fpp >= 1.0
+
+
+def test_chunked_matches_unchunked_duration_and_scale(tmp_path, tiny_gen):
+    """Long-text invariant (VERDICT r3 #9): over-bucket span chunking must
+    track the unchunked synthesis — chunking changes each phoneme's
+    attention CONTEXT (spans are independent forwards), so bitwise
+    equality is impossible, but the aggregate contract must hold: every
+    phoneme is synthesized exactly once (frame budget within a tight band
+    of the unchunked run) and the mel lives in the same value range (no
+    boundary blowups at the chunk joins)."""
+    vocab = _vocab()
+    path, cfg = _make_ckpt(tmp_path, vocab)
+    text = ("one clause here, and another clause, then more words after "
+            "that, and still further clauses keep arriving here")
+    kw = dict(model_cfg=cfg, g2p_backend="rules", frame_buckets=(256, 512))
+    chunked = Synthesizer(path, phoneme_buckets=(32,), **kw)
+    chunked.vocoder = Vocoder(generator=tiny_gen)
+    whole = Synthesizer(path, phoneme_buckets=(256,), **kw)
+    whole.vocoder = Vocoder(generator=tiny_gen)
+    n = len(whole.phonemes_to_ids(whole.g2p.phonemes(text)))
+    assert n > 64  # genuinely over the chunked synthesizer's largest bucket
+
+    wav_c, mel_c = chunked.synthesize(text)
+    wav_w, mel_w = whole.synthesize(text)
+    assert np.isfinite(mel_c).all() and np.isfinite(wav_c).all()
+    # every phoneme synthesized once: total frames within 10% of unchunked
+    assert abs(mel_c.shape[0] - mel_w.shape[0]) <= 0.10 * mel_w.shape[0], (
+        mel_c.shape, mel_w.shape)
+    assert wav_c.shape[0] == mel_c.shape[0] * tiny_gen.cfg.hop_recovery
+    # no numeric blowups at chunk joins: chunked mel stays inside the
+    # unchunked run's value envelope (with float headroom)
+    assert mel_c.max() <= mel_w.max() + 0.5
+    assert mel_c.min() >= mel_w.min() - 0.5
+    # per-frame energy at the joins stays within the utterance's own range
+    e = mel_c.mean(axis=1)
+    assert e.min() >= mel_w.mean(axis=1).min() - 1.0

@@ -205,3 +205,31 @@ def test_emphasis_mapping():
     # fewer scales than words: tail defaults to 1.0
     vec2 = word_emphasis_to_phonemes([2.0], ph_per_word)
     assert vec2[1] == 2.0 and vec2[3] == 1.0
+
+
+def test_g2p_rule_fallback_fuzz_never_crashes():
+    """G2P fuzz (VERDICT r3 #9): the rule fallback must survive arbitrary
+    input — unicode, digits, punctuation soup, emoji, very long tokens,
+    control characters — never raising and always yielding at least one
+    token (the <SIL> wrap guarantees a non-empty sequence)."""
+    import random
+    import string
+
+    from spev_tpu.text.g2p import G2P
+
+    g = G2P("rules")
+    pools = [
+        string.ascii_letters, string.digits, string.punctuation,
+        "äöüßéèñçøπλΩ漢字カナ한글", "👍🔥🎉", "\t\n\r\x0b",
+        " '’“”—–…",
+    ]
+    rng = random.Random(0)
+    cases = ["", " ", "''", "‒—", "🎉🎉🎉", "x" * 500, "9" * 40,
+             "\n\n\n", "mc'duff's 9th", "ÆTHER œuvre"]
+    for _ in range(200):
+        n = rng.randrange(0, 60)
+        cases.append("".join(rng.choice(rng.choice(pools)) for _ in range(n)))
+    for text in cases:
+        phones = g.phonemes(text)
+        assert len(phones) >= 1, repr(text)
+        assert all(isinstance(p, str) and p for p in phones), repr(text)
