@@ -107,9 +107,17 @@ def run_training(args, warmup_epochs: int = 0, model_overrides: Optional[dict] =
         print(f"Resuming from {args.resume}")
         trainer.restore(args.resume)
 
+    # per-epoch artifact cadence: the resumable `last` (params+optimizer,
+    # ~3x the params bytes) and the val mel plot are throttled — on a
+    # tunneled/remote device the checkpoint fetch alone can exceed the
+    # whole epoch's train compute on a small corpus.  `best` still saves
+    # on every improvement, params-only (Trainer.maybe_save_best).
+    save_every = max(1, int(getattr(args, "save_every", 10) or 10))
     for epoch in range(trainer.epoch, cfg.train.epochs):
         metrics = trainer.train_epoch(train_b.epoch(epoch))
-        val_loss = trainer.validate(val_b.epoch(0), save_plot_epoch=epoch)
+        cadence = (epoch + 1) % save_every == 0 or epoch + 1 == cfg.train.epochs
+        val_loss = trainer.validate(val_b.epoch(0),
+                                    save_plot_epoch=epoch if cadence else None)
         quality = getattr(trainer, "last_quality", {}) or {}
         log_metrics(trainer.log_dir, epoch, {**metrics, "val_mel": val_loss, **quality})
         qstr = ""
@@ -120,13 +128,15 @@ def run_training(args, warmup_epochs: int = 0, model_overrides: Optional[dict] =
         print(
             f"Epoch {epoch + 1}: train {metrics['train_loss']:.4f} | val mel {val_loss:.4f}{qstr}"
         )
-        trainer.save("last")
+        if cadence:
+            trainer.save("last")
         if trainer.maybe_save_best(val_loss):
             print(f"New best model saved (val {val_loss:.4f})")
         if (epoch + 1) % 10 == 0:
             # documented reference variant: numbered checkpoints every 10
-            # epochs (README.md:157) + synthesis probes
-            trainer.save(f"ckpt_{epoch + 1}")
+            # epochs (README.md:157) + synthesis probes; params-only (the
+            # resumable state lives in `last`)
+            trainer.save(f"ckpt_{epoch + 1}", include_opt=False)
             test_inference_probe(trainer, log_dir=trainer.log_dir, epoch=epoch)
 
 

@@ -16,6 +16,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--textgrid_dir", type=str, help="Path to MFA .TextGrid files")
     p.add_argument("--name", type=str, default="run_stable")
     add_cache_flags(p)
+    p.add_argument("--save_every", type=int, default=10,
+                   help="epochs between resumable `last` checkpoints and "
+                        "val plots (the final epoch always saves; `best` "
+                        "saves params-only on every improvement) - the "
+                        "checkpoint fetch dominates epoch wall time on "
+                        "tunneled devices")
     p.add_argument("--resume", type=str)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=16)

@@ -19,6 +19,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--name", type=str, default="spev_tts")
     p.add_argument("--resume", type=str)
     add_cache_flags(p)
+    p.add_argument("--save_every", type=int, default=10,
+                   help="epochs between resumable `last` checkpoints and "
+                        "val plots (the final epoch always saves; `best` "
+                        "saves params-only on every improvement) - the "
+                        "checkpoint fetch dominates epoch wall time on "
+                        "tunneled devices")
     p.add_argument("--warmup_epochs", type=int, default=10,
                    help="duration-only epochs before full training")
     p.add_argument("--multi_speaker", action="store_true",

@@ -520,14 +520,20 @@ class Trainer:
             pass  # quality dashboard must never fail validation
         return out
 
-    def save(self, name: str = "last") -> str:
+    def save(self, name: str = "last", include_opt: bool = True) -> str:
+        """``include_opt=False`` writes a params-only (inference) checkpoint
+        — 1/3 the bytes of the resumable form.  The checkpoint fetch is the
+        dominant per-epoch cost on a tunneled/remote device (a full-size
+        state is ~500 MB; best-so-far improves almost every early epoch),
+        so callers should keep frequent saves params-only and write the
+        resumable ``last`` on a cadence."""
         from spev_tpu.train.checkpoint import model_config_dict, save_checkpoint
 
         path = os.path.join(self.ckpt_dir, f"{name}.spev")
         save_checkpoint(
             path,
             params=self.state.params,
-            opt_state=self.state.opt_state,
+            opt_state=self.state.opt_state if include_opt else None,
             step=int(self.state.step),
             epoch=self.epoch,
             vocab=list(self.vocab.symbols) if hasattr(self.vocab, "symbols") else list(self.vocab),
@@ -537,9 +543,11 @@ class Trainer:
         return path
 
     def maybe_save_best(self, val_loss: float) -> bool:
+        """Params-only on purpose: ``best`` is the inference artifact;
+        exact resume goes through ``last`` (which keeps the optimizer)."""
         if math.isfinite(val_loss) and val_loss < self.best_val:
             self.best_val = val_loss
-            self.save("best")
+            self.save("best", include_opt=False)
             return True
         return False
 
