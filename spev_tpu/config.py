@@ -160,14 +160,17 @@ class TrainConfig:
     # ``+0.1·L_nasal``, PRODUCTION_SYSTEM_SUMMARY.md:133); active only when
     # model.use_nasality provides a nasal head
     w_nasal: float = 0.1
-    # matmul precision for train/eval steps: 'high' (bf16x3 passes,
-    # ~f32-accurate — the reference-parity default), 'mixed' (forward at
-    # 'high' — loss/outputs bitwise-identical to 'high' — with single-pass
-    # bf16 backward matmuls via custom VJPs; lifts the bf16x3 MFU ceiling),
-    # or 'default' (pure bf16 matmuls with f32 master weights/accumulation
-    # elsewhere — ~2.6x faster on TPU, loss trajectory identical to ~1e-4
-    # over tens of steps; docs/BENCH.md)
-    matmul_precision: str = "high"
+    # matmul precision for train/eval steps: 'mixed' (the default —
+    # forward/loss at 'high' bf16x3, BITWISE-identical to 'high', with
+    # single-pass bf16 backward matmuls via custom VJPs: +48% steps/s,
+    # one-step updates within 2e-4 relative, convergence dashboard
+    # recalibrated under it in docs/QUALITY.md), 'high' (bf16x3 both
+    # directions — the parity-grade mode for trajectory-exact comparisons
+    # against f32 oracles), or 'default' (pure bf16 matmuls with f32
+    # master weights/accumulation elsewhere — ~2.6x faster than 'high',
+    # loss trajectory identical to ~1e-4 over tens of steps;
+    # docs/BENCH.md)
+    matmul_precision: str = "mixed"
     # PRNG implementation for dropout masks: 'auto' resolves to 'rbg' (the
     # TPU's hardware RngBitGenerator — measured 2.1x cheaper than threefry
     # for the step's 18 mask sites, docs/BENCH.md) on TPU and 'threefry'

@@ -72,11 +72,21 @@ def dashboard(tmp_path_factory):
             "mcd": float(q.get("val_mcd_db", np.nan)),
             "durerr": float(q.get("val_dur_err_pct", np.nan)),
         })
-    return hist
+    from tools.gate_calibration import freerun_frame_errors
+
+    hist_ns = list(hist)
+    errors = freerun_frame_errors(trainer, ds, vocab, cfg, va)
+    return {"hist": hist_ns, "freerun": errors}
+
+
+@pytest.fixture(scope="module")
+def freerun_errors(dashboard):
+    return dashboard["freerun"]
 
 
 @pytest.mark.slow
 def test_duration_error_reaches_reference_target(dashboard):
+    dashboard = dashboard["hist"]
     final = np.median([h["durerr"] for h in dashboard[-3:]])
     assert np.isfinite(final)
     assert final < 10.0, [h["durerr"] for h in dashboard]
@@ -84,20 +94,36 @@ def test_duration_error_reaches_reference_target(dashboard):
 
 @pytest.mark.slow
 def test_mcd_converges_toward_target(dashboard):
+    dashboard = dashboard["hist"]
     mcds = np.array([h["mcd"] for h in dashboard])
     assert np.all(np.isfinite(mcds))
     final = np.median(mcds[-5:])
-    # >55% relative drop from the untrained level, and below the
-    # corpus-calibrated bound for this epoch budget (measured 55.2 on this
-    # exact setup — the run is bit-deterministic for a fixed seed, the
-    # margin covers numeric drift from future feature/extractor changes;
-    # docs/QUALITY.md has the 150-epoch trajectory)
-    assert final < 0.45 * mcds[0], (mcds[0], final, list(mcds))
-    assert final < 60.0, (final, list(mcds))
+    # calibrated bounds with <=1.5x headroom (VERDICT r3 #5): under the
+    # `mixed` training default this exact setup measures final-5 median
+    # MCD 26.4 dB = 0.192x epoch 0 (tools/gate_calibration.py, bit-
+    # deterministic for a fixed seed in the CI env; docs/QUALITY.md has
+    # the 150-epoch trajectory).  The old 60-dB bound could not catch a
+    # 2x regression; these fail a deliberate 10% LR perturbation
+    # (docs/QUALITY.md gate-validation table).
+    assert final < 0.29 * mcds[0], (mcds[0], final, list(mcds))
+    assert final < 40.0, (final, list(mcds))
+
+
+@pytest.mark.slow
+def test_freerun_frame_count_generalizes(dashboard, freerun_errors):
+    """FREE-RUNNING inference (predicted durations, no teacher forcing) on
+    every held-out utterance: the predicted frame count must track the
+    ground truth — the duration predictor's generalization, which the
+    teacher-forced dashboard cannot see (the 150-epoch demo measured
+    0.8-2.7%; the calibrated 45-epoch bound carries <=1.5x headroom)."""
+    med = float(np.median(freerun_errors))
+    assert np.isfinite(med)
+    assert med < 9.0, freerun_errors
 
 
 @pytest.mark.slow
 def test_dashboard_trend_is_convergent(dashboard):
+    dashboard = dashboard["hist"]
     k = len(dashboard) // 3
     for key in ("mcd", "durerr", "val"):
         first = np.median([h[key] for h in dashboard[:k]])

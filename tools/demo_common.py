@@ -22,10 +22,13 @@ from spev_tpu.text.vocab import Vocab
 from spev_tpu.train.trainer import Trainer
 
 
-def build_quality_setup(epochs: int) -> SimpleNamespace:
+def build_quality_setup(epochs: int, lr_mult: float = 1.0) -> SimpleNamespace:
     """The docs/QUALITY.md training setup: 120-utterance formant corpus,
     hidden-96 model with vp_output_norm=False, 90/10 split, bucketed
-    batchers.  Returns everything the tools need."""
+    batchers.  Returns everything the tools need.
+
+    ``lr_mult`` perturbs the learning rate (gate-calibration adversarial
+    arm, tools/gate_calibration.py); 1.0 is the calibrated setup."""
     work = tempfile.mkdtemp(prefix="spev_quality_")
     root, cache = os.path.join(work, "corpus"), os.path.join(work, "cache")
     tg_dir = generate_formant_corpus(root, n_utterances=120, seed=0)
@@ -37,7 +40,7 @@ def build_quality_setup(epochs: int) -> SimpleNamespace:
                           n_mels=80, max_phonemes=32, max_frames=256,
                           vp_output_norm=False),
         train=TrainConfig(batch_size=16, warmup_steps=50, epochs=epochs,
-                          warmup_epochs=2, learning_rate=2e-3),
+                          warmup_epochs=2, learning_rate=2e-3 * lr_mult),
     )
     tr_idx, va_idx = train_val_split(len(ds), 0.1, seed=0)
     trainer = Trainer(cfg, vocab, ds.stats, ckpt_dir=os.path.join(work, "ck"),

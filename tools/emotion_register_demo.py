@@ -1,0 +1,166 @@
+"""Trainable-VAD evidence — the learned emotion embedding reproduces the
+corpus's per-emotion prosody registers (VERDICT r3 #1 done-criterion; the
+multi-speaker identity proof's emotion sibling).
+
+What it does (one process, the docs/QUALITY.md CPU env):
+
+1. generate an emotion-conditioned formant corpus
+   (`data/synthetic.py generate_formant_corpus(emotions=...)`: each
+   emotion applies its log-linear VAD→prosody register — arousal raises
+   F0/level and quickens rate, etc. — and the label rides the filename
+   suffix);
+2. train the advanced model with the VAD pathway (emotion labels →
+   `data/emotion.py` VAD targets → `vad_proj` gradient);
+3. verify the projection learned (non-zero weights);
+4. the register proof: synthesize the SAME phoneme sequence under each
+   emotion's (V, A, D) — through the LEARNED embedding only, no
+   rule-based knobs — and measure voiced F0 and frame count of the
+   audio: the orderings must match the corpus's registers
+   (F0: happy > neutral > sad; duration: sad > neutral > happy).
+
+Usage:  timeout 5400 python tools/emotion_register_demo.py [epochs] \
+            [--out docs/demo/emotion_metrics.json] [--wav_dir docs/demo]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the docs/QUALITY.md env (8 virtual CPU devices)
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+EMOTIONS = ("neutral", "happy", "sad", "angry")
+
+
+def main(epochs: int = 150, out_path: str = "docs/demo/emotion_metrics.json",
+         wav_dir: str = None) -> None:
+    import tempfile
+
+    from spev_tpu.config import AudioConfig, ModelConfig, SpevConfig, TrainConfig
+    from spev_tpu.data.batching import BucketBatcher, train_val_split
+    from spev_tpu.data.dataset import SpevDataset
+    from spev_tpu.data.emotion import EMOTION_VAD
+    from spev_tpu.data.synthetic import emotion_prosody, generate_formant_corpus
+    from spev_tpu.text.vocab import Vocab
+    from spev_tpu.train.trainer import Trainer
+
+    work = tempfile.mkdtemp(prefix="spev_emo_")
+    root = os.path.join(work, "corpus")
+    tg = generate_formant_corpus(root, n_utterances=160, seed=0,
+                                 emotions=EMOTIONS)
+    ds = SpevDataset(root, textgrid_dir=tg, cache_dir=os.path.join(work, "cache"),
+                     g2p_backend="rules", stats_sample=60, emotion_vad=True)
+    assert sorted(ds.emotions) == sorted(EMOTIONS), ds.emotions
+    vocab = Vocab(ds.vocab)
+    cfg = SpevConfig(
+        model=ModelConfig(vocab_size=len(vocab), embed_dim=96, hidden_dim=96,
+                          n_mels=80, max_phonemes=32, max_frames=256,
+                          vp_output_norm=False, use_vad=True),
+        train=TrainConfig(batch_size=16, warmup_steps=50, epochs=epochs,
+                          warmup_epochs=2, learning_rate=2e-3),
+    )
+    tr_idx, va_idx = train_val_split(len(ds), 0.1, seed=0)
+    trainer = Trainer(cfg, vocab, ds.stats, ckpt_dir=os.path.join(work, "ck"),
+                      log_dir=os.path.join(work, "logs"))
+    assert "vad_proj" in trainer.state.params["advanced"]
+    bt = BucketBatcher(ds, vocab, batch_size=16, phoneme_buckets=(32,),
+                       frame_buckets=(256,), indices=tr_idx)
+    bv = BucketBatcher(ds, vocab, batch_size=16, phoneme_buckets=(32,),
+                       frame_buckets=(256,), indices=va_idx)
+    for epoch in range(epochs):
+        m = trainer.train_epoch(bt.epoch(epoch))
+        val = trainer.validate(bv.epoch(0))
+        if epoch % 10 == 0 or epoch == epochs - 1:
+            q = trainer.last_quality
+            print(f"epoch {epoch}: loss {m['train_loss']:.3f} val {val:.3f} "
+                  f"MCD {q.get('val_mcd_db', float('nan')):.1f} "
+                  f"durerr {q.get('val_dur_err_pct', float('nan')):.1f}%",
+                  flush=True)
+    ckpt = trainer.save("emo_demo", include_opt=False)
+
+    w = np.asarray(trainer.state.params["advanced"]["vad_proj"]["weight"])
+    assert np.abs(w).max() > 0, "vad_proj never received gradient"
+    print(f"vad_proj learned: |w| mean {np.abs(w).mean():.4f} "
+          f"max {np.abs(w).max():.4f}", flush=True)
+
+    # ---- register proof: same text, four learned emotions ----------------
+    from spev_tpu.infer.synthesis import Synthesizer
+    from spev_tpu.ops.features import pyin_f0
+    from spev_tpu.utils.wavio import write_wav
+
+    synth = Synthesizer(ckpt, hifigan_dir=None, model_cfg=cfg.model,
+                        g2p_backend="rules",
+                        phoneme_buckets=(32,), frame_buckets=(256,))
+    text = "AA M OW S IY AH N AA"  # vowel-rich for stable F0 tracking
+    ids = synth.phonemes_to_ids(synth.g2p.phonemes(text))
+    audio = AudioConfig()
+    registers = {}
+    for emo in EMOTIONS:
+        vad = EMOTION_VAD[emo]
+        # LEARNED pathway only: vad feeds vad_proj through the advanced
+        # wrapper; no rule-based knob mapping in the loop
+        wav, mel = synth.synthesize_ids(ids, vad=vad)
+        f0, vflag, _ = pyin_f0(np.asarray(wav, np.float32),
+                               sr=audio.sample_rate,
+                               hop_length=audio.hop_length)
+        f0 = np.asarray(f0)
+        voiced = np.isfinite(f0) & np.asarray(vflag).astype(bool)
+        hz = float(np.median(f0[voiced])) if voiced.any() else float("nan")
+        corpus_f0, corpus_dur, _lvl = emotion_prosody(vad)
+        registers[emo] = {
+            "vad": list(vad),
+            "synth_f0_hz": round(hz, 2),
+            "synth_frames": int(mel.shape[0]),
+            "corpus_f0_mult": round(corpus_f0, 3),
+            "corpus_dur_mult": round(corpus_dur, 3),
+        }
+        print(f"{emo}: F0 {hz:.1f} Hz, {mel.shape[0]} frames "
+              f"(corpus registers {corpus_f0:.3f}x F0, {corpus_dur:.3f}x dur)",
+              flush=True)
+        if wav_dir:
+            os.makedirs(wav_dir, exist_ok=True)
+            write_wav(os.path.join(wav_dir, f"emo_{emo}_same_text.wav"),
+                      np.clip(np.asarray(wav), -1, 1), audio.sample_rate)
+
+    f0_of = {e: registers[e]["synth_f0_hz"] for e in EMOTIONS}
+    fr_of = {e: registers[e]["synth_frames"] for e in EMOTIONS}
+    f0_ordered = bool(f0_of["happy"] > f0_of["neutral"] > f0_of["sad"])
+    dur_ordered = bool(fr_of["sad"] > fr_of["neutral"]
+                       and fr_of["neutral"] >= fr_of["happy"])
+    out = {
+        "epochs": epochs,
+        "final_quality": {k: round(float(v), 2)
+                          for k, v in trainer.last_quality.items()},
+        "vad_proj_abs_mean": round(float(np.abs(w).mean()), 5),
+        "registers": registers,
+        "f0_register_ordered": f0_ordered,
+        "duration_register_ordered": dur_ordered,
+    }
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"f0_register_ordered": f0_ordered,
+                      "duration_register_ordered": dur_ordered}, indent=1))
+    print("written:", out_path)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("epochs", nargs="?", type=int, default=150)
+    ap.add_argument("--out", default="docs/demo/emotion_metrics.json")
+    ap.add_argument("--wav_dir", default=None)
+    a = ap.parse_args()
+    main(a.epochs, a.out, wav_dir=a.wav_dir)
