@@ -258,54 +258,85 @@ def build(bf16_vocoder: bool, prefer_folded=None):
     return cfg, params, vrt, jax.jit(run)
 
 
-def measure(bf16_vocoder: bool, B: int, n_iter: int = 10, want_flops: bool = False):
-    cfg, params, vparams, run = build(bf16_vocoder)
+def make_serving_inputs(cfg, B: int):
     rng = np.random.default_rng(0)
     ids = jnp.asarray(
         rng.integers(1, cfg.vocab_size, size=(B, cfg.max_phonemes)).astype(np.int32)
     )
     lengths = jnp.full((B,), cfg.max_phonemes, jnp.int32)
     breath = jnp.full((B, cfg.max_phonemes), 0.2, jnp.float32)
+    return ids, lengths, breath
 
+
+def compile_serving(bf16_vocoder: bool, B: int, prefer_folded=None):
+    """Build + first-call compile of the serving graph.  Split out from the
+    timing loop so the bench can bound and time the COMPILE separately from
+    the measurement: round 4's BENCH artifact was null because a code change
+    invalidated the persistent compile cache and the unbounded serving stage
+    sat in remote compiles until the watchdog fired (docs/BENCH.md
+    postmortem)."""
+    cfg, params, vparams, run = build(bf16_vocoder, prefer_folded=prefer_folded)
+    ids, lengths, breath = make_serving_inputs(cfg, B)
     wav, mel_len = run(params, vparams, ids, lengths, breath)
     jax.block_until_ready(wav)
     assert int(np.asarray(mel_len).sum()) == B * cfg.max_frames
+    return cfg, params, vparams, run
 
+
+def measure_serving_rtf(compiled, B: int, n_iter: int = 10):
+    """Timing loop only — the graph is already compiled by compile_serving."""
+    cfg, params, vparams, run = compiled
+    ids, lengths, breath = make_serving_inputs(cfg, B)
     t0 = time.perf_counter()
     for _ in range(n_iter):
         wav, mel_len = run(params, vparams, ids, lengths, breath)
     jax.block_until_ready(wav)
     dt = time.perf_counter() - t0
     audio_sec = n_iter * B * cfg.max_frames * HOP / SR
-    # executed FLOPs (the folded graph does ~2x the model's intrinsic FLOPs
-    # to fill the MXU) → hardware utilization; intrinsic model FLOPs come
-    # from lowering the standard-path graph → MFU
-    flops = _compiled_flops(run, params, vparams, ids, lengths, breath) if want_flops else None
-    model_flops = None
-    if want_flops:
-        _, params_std, vrt_std, run_std = build(bf16_vocoder, prefer_folded=False)
-        model_flops = _compiled_flops(run_std, params_std, vrt_std, ids, lengths, breath)
+    return audio_sec / dt, dt / n_iter
 
-    # realistic-length distribution on the SAME compiled graph: LJSpeech-like
-    # 32-128 phonemes, 6 frames/phoneme — RTF counts valid audio only, so the
-    # number includes the bucket-fill factor real serving pays
-    real_rtf = None
-    if want_flops:
-        real_lens = rng.integers(32, cfg.max_phonemes + 1, size=(B,)).astype(np.int32)
-        ids_r = np.zeros((B, cfg.max_phonemes), np.int32)
-        for b, L in enumerate(real_lens):
-            ids_r[b, :L] = rng.integers(1, cfg.vocab_size, size=(L,))
-        ids_r, lens_r = jnp.asarray(ids_r), jnp.asarray(real_lens)
+
+def measure_serving_flops(compiled, bf16_vocoder: bool, B: int):
+    """Executed FLOPs of the folded graph (the fold does ~2x the model's
+    intrinsic FLOPs to fill the MXU) → hardware utilization; intrinsic model
+    FLOPs from lowering the standard-path graph → MFU.  The standard-path
+    lowering is a FULL extra compile, which is why this runs as its own
+    bounded stage after the headline is already recorded."""
+    cfg, params, vparams, run = compiled
+    ids, lengths, breath = make_serving_inputs(cfg, B)
+    flops = _compiled_flops(run, params, vparams, ids, lengths, breath)
+    _, params_std, vrt_std, run_std = build(bf16_vocoder, prefer_folded=False)
+    model_flops = _compiled_flops(run_std, params_std, vrt_std, ids, lengths, breath)
+    return flops, model_flops
+
+
+def measure_realistic_rtf(compiled, B: int, n_iter: int = 10):
+    """Realistic-length distribution on the SAME compiled graph: LJSpeech-like
+    32-128 phonemes, 6 frames/phoneme — RTF counts valid audio only, so the
+    number includes the bucket-fill factor real serving pays."""
+    cfg, params, vparams, run = compiled
+    rng = np.random.default_rng(0)
+    _, _, breath = make_serving_inputs(cfg, B)
+    real_lens = rng.integers(32, cfg.max_phonemes + 1, size=(B,)).astype(np.int32)
+    ids_r = np.zeros((B, cfg.max_phonemes), np.int32)
+    for b, L in enumerate(real_lens):
+        ids_r[b, :L] = rng.integers(1, cfg.vocab_size, size=(L,))
+    ids_r, lens_r = jnp.asarray(ids_r), jnp.asarray(real_lens)
+    wav, mel_len = run(params, vparams, ids_r, lens_r, breath)
+    jax.block_until_ready(wav)
+    valid_audio = float(np.asarray(mel_len).sum()) * HOP / SR
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
         wav, mel_len = run(params, vparams, ids_r, lens_r, breath)
-        jax.block_until_ready(wav)
-        valid_audio = float(np.asarray(mel_len).sum()) * HOP / SR
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            wav, mel_len = run(params, vparams, ids_r, lens_r, breath)
-        jax.block_until_ready(wav)
-        real_rtf = n_iter * valid_audio / (time.perf_counter() - t0)
+    jax.block_until_ready(wav)
+    return n_iter * valid_audio / (time.perf_counter() - t0)
 
-    return audio_sec / dt, dt / n_iter, cfg, flops, real_rtf, model_flops
+
+def measure(bf16_vocoder: bool, B: int, n_iter: int = 10):
+    """Compile + time in one call (used by the parity stage and tests)."""
+    compiled = compile_serving(bf16_vocoder, B)
+    rtf, wall = measure_serving_rtf(compiled, B, n_iter)
+    return rtf, wall, compiled[0]
 
 
 _TRAIN_HOST_STATE: list = []  # one-element cache: device master of the init state
@@ -514,9 +545,12 @@ def measure_latency_b1(n_iter: int = 20) -> tuple:
     return synced_ms, rtt_ms
 
 
-def _bounded(fn, seconds: int):
-    """Run fn() under a SIGALRM deadline; None on timeout/error — the
-    auxiliary bench stages must never break or stall the bench line."""
+def _bounded(fn, seconds: int, stage: str = ""):
+    """Run fn() under a SIGALRM deadline; None on timeout/error — a bench
+    stage must never break or stall the bench line.  A swallowed failure is
+    RECORDED into RESULT["stage_errors"][stage]: BENCH_r03 lost its
+    adaptive_serving_rtf key with no trace because the old bare
+    ``except Exception: return None`` made the stage vanish silently."""
     import signal
 
     def _raise(signum, frame):
@@ -526,7 +560,13 @@ def _bounded(fn, seconds: int):
     signal.alarm(seconds)
     try:
         return fn()
-    except Exception:
+    except Exception as e:
+        msg = f"{type(e).__name__}: {e}"[:300]
+        sys.stderr.write(f"bench: stage {stage or '?'} failed: {msg}\n")
+        sys.stderr.flush()
+        if stage:
+            with _EMIT_LOCK:
+                RESULT.setdefault("stage_errors", {})[stage] = msg
         return None
     finally:
         signal.alarm(0)
@@ -569,75 +609,120 @@ def main():
         sys.stderr.flush()
 
     mark("probe")
-
-    # 2. Stages, most important first; each records into RESULT immediately,
-    #    so a later death still reports everything that finished.
-    serving_rtf, serving_wall, cfg, serving_flops, real_rtf, model_flops = measure(
-        bf16_vocoder=True, B=16, want_flops=True
-    )
     B = 16
     peak = _peak_flops()
-    serving_hw_util = (
-        serving_flops / serving_wall / peak if (serving_flops and peak) else None
-    )
-    serving_mfu = (
-        model_flops / serving_wall / peak if (model_flops and peak) else None
-    )
-    _record(
-        value=round(serving_rtf, 2),
-        vs_baseline=round(serving_rtf / 20.0, 2),
-        realistic_length_rtf=round(real_rtf, 2) if real_rtf else None,
-        mel_frames_per_sec=round(B * cfg.max_frames / serving_wall),
-        vocoder_samples_per_sec=round(B * cfg.max_frames * HOP / serving_wall),
-        batch=B,
-        wall_sec_per_batch=round(serving_wall, 4),
-        serving_mfu=round(serving_mfu, 4) if serving_mfu else None,
-        serving_hw_flop_util=round(serving_hw_util, 4) if serving_hw_util else None,
-        device=str(jax.devices()[0]),
-    )
-    mark("serving")
 
-    train = _bounded(
-        lambda: measure_training(B=16, matmul_precision="high"),
-        int(max(30, min(180, left() - 120))),
+    # 2. Stages, most important first; EVERY stage is bounded (round 4's
+    #    artifact was null because the serving stage — the only unbounded
+    #    one — sat in cold-cache remote compiles until the watchdog fired).
+    #    Each stage records into RESULT immediately, so a later death still
+    #    reports everything that finished.
+
+    # 2a. serving compile, bounded and timed on its own: a cold compile
+    #     cache degrades the run to partial numbers instead of zero.
+    compiled = _bounded(
+        lambda: compile_serving(bf16_vocoder=True, B=B),
+        int(max(60, min(300, left() - 120))), "serving_compile",
     )
-    if train:
-        train_sps, train_hours, train_mfu = train
-        _record(
-            train_steps_per_sec=round(train_sps, 3),
-            train_hours_per_100_lj_epochs=round(train_hours, 2),
-            train_vs_baseline_3090_5h=round(5.0 / train_hours, 2),
-            train_mfu=round(train_mfu, 4) if train_mfu else None,
+    mark("serving_compile")
+    _record(compile_wall_sec=stage_walls.get("serving_compile"))
+    if compiled is None:
+        # fallback headline: smaller batch, standard (unfolded) vocoder path
+        # — a different, usually lighter compile; better a modest non-null
+        # RTF than a null artifact.
+        fb = _bounded(
+            lambda: (lambda c: (measure_serving_rtf(c, 8, n_iter=5), c))(
+                compile_serving(bf16_vocoder=True, B=8, prefer_folded=False)),
+            int(max(45, left() - 75)), "serving_fallback",
         )
-    mark("train_high")
+        if fb is not None:
+            (rtf_wall, compiled_fb) = fb
+            _record(value=round(rtf_wall[0], 2),
+                    vs_baseline=round(rtf_wall[0] / 20.0, 2),
+                    batch=8, headline_mode="fallback_standard_b8",
+                    device=str(jax.devices()[0]))
+        mark("serving_fallback")
+    else:
+        serving = _bounded(lambda: measure_serving_rtf(compiled, B),
+                           int(max(30, min(90, left() - 90))), "serving")
+        if serving:
+            serving_rtf, serving_wall = serving
+            cfg = compiled[0]
+            _record(
+                value=round(serving_rtf, 2),
+                vs_baseline=round(serving_rtf / 20.0, 2),
+                mel_frames_per_sec=round(B * cfg.max_frames / serving_wall),
+                vocoder_samples_per_sec=round(B * cfg.max_frames * HOP / serving_wall),
+                batch=B,
+                wall_sec_per_batch=round(serving_wall, 4),
+                device=str(jax.devices()[0]),
+            )
+        mark("serving")
 
-    parity = _bounded(lambda: measure(bf16_vocoder=False, B=8),
-                      int(max(20, min(120, left() - 90))))
-    if parity:
-        _record(parity_grade_rtf=round(parity[0], 2))
-    mark("parity")
+        if serving and left() > 150:
+            # MFU/utilization: involves one extra full compile (standard
+            # path) — worth at most one stage budget, never the headline
+            fl = _bounded(lambda: measure_serving_flops(compiled, True, B),
+                          int(min(120, left() - 90)), "serving_flops")
+            if fl:
+                serving_flops, model_flops = fl
+                _record(
+                    serving_mfu=round(model_flops / serving_wall / peak, 4)
+                    if (model_flops and peak) else None,
+                    serving_hw_flop_util=round(serving_flops / serving_wall / peak, 4)
+                    if (serving_flops and peak) else None,
+                )
+            mark("serving_flops")
 
-    if left() > 120:
+        if serving and left() > 80:
+            real_rtf = _bounded(lambda: measure_realistic_rtf(compiled, B),
+                                int(min(60, left() - 40)), "realistic")
+            if real_rtf:
+                _record(realistic_length_rtf=round(real_rtf, 2))
+            mark("realistic")
+
+    # 2b. the two keys never yet captured in a driver artifact (BENCH_r03
+    #     dropped them to the deadline; BENCH_r04 dropped everything) come
+    #     BEFORE the train stages this round.
+    if left() > 60:
+        lat = _bounded(measure_latency_b1, int(min(90, left() - 30)), "latency_b1")
+        if lat:
+            _record(
+                latency_b1_ms_per_sentence=round(lat[0], 2),
+                host_rtt_ms=round(lat[1], 2),
+            )
+        mark("latency_b1")
+
+    if left() > 90:
+        adaptive_rtf = _bounded(measure_adaptive_serving,
+                                int(min(150, left() - 40)), "adaptive_serving")
+        if adaptive_rtf:
+            _record(adaptive_serving_rtf=round(adaptive_rtf, 2))
+        mark("adaptive_serving")
+
+    if left() > 100:
         # 'mixed': forward at 'high' (loss bitwise-equal to the parity
         # mode), backward cotangent matmuls single-pass bf16 — the round-3
-        # MFU lever, so it outranks the pure-bf16 stage for bench budget
+        # MFU lever, so it outranks the other train precisions for budget
         train_mixed = _bounded(
             lambda: measure_training(B=16, matmul_precision="mixed"),
-            int(min(150, left() - 60)),
+            int(min(150, left() - 50)), "train_mixed",
         )
         if train_mixed:
             _record(
                 train_steps_per_sec_mixed=round(train_mixed[0], 3),
                 train_hours_per_100_lj_epochs_mixed=round(train_mixed[1], 2),
                 train_mfu_mixed=round(train_mixed[2], 4) if train_mixed[2] else None,
+                # provisional vs-baseline from the mixed stage; the 'high'
+                # stage overwrites it with the like-for-like number if it runs
+                train_vs_baseline_3090_5h=round(5.0 / train_mixed[1], 2),
             )
         mark("train_mixed")
 
-    if left() > 110:
-        # cheap now: the init state is shared with the stages above
+    if left() > 100:
         train_bf16 = _bounded(
             lambda: measure_training(B=16, matmul_precision="default"),
-            int(min(120, left() - 50)),
+            int(min(120, left() - 50)), "train_bf16",
         )
         if train_bf16:
             _record(
@@ -646,22 +731,27 @@ def main():
             )
         mark("train_bf16")
 
-    if left() > 75:
-        # the adaptive number is a README headline — capture it before the
-        # cheaper latency stage when the budget is tight
-        adaptive_rtf = _bounded(measure_adaptive_serving, int(min(150, left() - 40)))
-        if adaptive_rtf:
-            _record(adaptive_serving_rtf=round(adaptive_rtf, 2))
-        mark("adaptive_serving")
-
-    if left() > 35:
-        lat = _bounded(measure_latency_b1, int(min(90, left() - 5)))
-        if lat:
+    if left() > 100:
+        train = _bounded(
+            lambda: measure_training(B=16, matmul_precision="high"),
+            int(min(120, left() - 50)), "train_high",
+        )
+        if train:
+            train_sps, train_hours, train_mfu = train
             _record(
-                latency_b1_ms_per_sentence=round(lat[0], 2),
-                host_rtt_ms=round(lat[1], 2),
+                train_steps_per_sec=round(train_sps, 3),
+                train_hours_per_100_lj_epochs=round(train_hours, 2),
+                train_vs_baseline_3090_5h=round(5.0 / train_hours, 2),
+                train_mfu=round(train_mfu, 4) if train_mfu else None,
             )
-        mark("latency_b1")
+        mark("train_high")
+
+    if left() > 70:
+        parity = _bounded(lambda: measure(bf16_vocoder=False, B=8),
+                          int(min(100, left() - 30)), "parity")
+        if parity:
+            _record(parity_grade_rtf=round(parity[0], 2))
+        mark("parity")
 
     _emit()
 

@@ -83,6 +83,12 @@ def run_training(args, warmup_epochs: int = 0, model_overrides: Optional[dict] =
         print(f"Multi-speaker: {len(ds.speakers)} speakers "
               f"({', '.join(ds.speakers[:8])}{'…' if len(ds.speakers) > 8 else ''})")
 
+    train_kw = {}
+    if getattr(args, "warmup_steps", None) is not None:
+        # the TrainConfig default (4000) is LJSpeech-scale; on a small
+        # corpus a whole run can fit inside it and never reach peak LR
+        # (round-4 q256: 1200 steps, LR still ramping at the end)
+        train_kw["warmup_steps"] = int(args.warmup_steps)
     cfg = SpevConfig(
         model=ModelConfig(vocab_size=len(vocab), **model_overrides),
         train=TrainConfig(
@@ -91,6 +97,7 @@ def run_training(args, warmup_epochs: int = 0, model_overrides: Optional[dict] =
             grad_accum=getattr(args, "grad_accum", 1),
             epochs=args.epochs,
             warmup_epochs=warmup_epochs,
+            **train_kw,
         ),
     )
     tr_idx, va_idx = train_val_split(len(ds), cfg.train.val_fraction, seed=cfg.train.seed)

@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "default this CLI trains functional per-phoneme "
                         "predictors (vp_output_norm=False)")
     p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--warmup_steps", type=int, default=None,
+                   help="LR warmup steps (default: TrainConfig's 4000; set "
+                        "~5%% of total steps on small corpora)")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--checkpoint", type=str, default="checkpoints/spev_tts/best.spev")

@@ -192,6 +192,56 @@ def _rescale_durations(durs: List[int], phs: List[str], target: int):
     return phs, new
 
 
+# ---------------------------------------------------------------------------
+# parallel pass-2 workers (module-level for spawn picklability)
+# ---------------------------------------------------------------------------
+
+_BUILD_WORKER: dict = {}
+
+
+def _build_worker_init(audio, stats, cache_dir, g2p_backend, textgrid_dir,
+                       min_samples, emotion_vad):
+    """Once per worker process: pin the CPU backend (the axon sitecustomize
+    re-applies the TPU platform in every fresh interpreter, and the single
+    relay-tunneled chip cannot be shared by N extraction processes), then
+    build the per-process extractor/G2P."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    ds = SpevDataset.__new__(SpevDataset)
+    ds.audio = audio
+    ds.cache_dir = cache_dir
+    ds.multi_speaker = False
+    ds.emotion_vad = emotion_vad
+    ds.stats = stats
+    ds._emotion_counts = {}
+    _BUILD_WORKER.update(
+        ds=ds,
+        fx=FeatureExtractor(audio, use_pallas=False),
+        g2p=G2P(g2p_backend),
+        textgrid_dir=textgrid_dir,
+        min_samples=min_samples,
+    )
+
+
+def _build_worker_run(item):
+    """(i, wav_path) → (i, status, payload): status 'ok' carries
+    (npz_path, phonemes, n_frames); 'skip' is a too-short/unparseable file;
+    'error' carries the repr for the parent's error accounting."""
+    i, wav_path = item
+    w = _BUILD_WORKER
+    try:
+        entry = w["ds"]._process_file(
+            i, wav_path, w["textgrid_dir"], w["fx"], w["g2p"], w["min_samples"]
+        )
+    except Exception as e:  # parent replicates the serial path's accounting
+        return i, "error", f"{e!r}"
+    if entry is None:
+        return i, "skip", None
+    path, phs, n_frames = entry
+    return i, "ok", (path, [str(p) for p in phs], int(n_frames))
+
+
 class SpevDataset:
     """Two-pass preprocessed dataset with per-utterance npz cache."""
 
@@ -208,6 +258,7 @@ class SpevDataset:
         seed: int = 1234,
         multi_speaker: bool = False,
         emotion_vad: bool = False,
+        build_workers: int = 1,
     ):
         """multi_speaker: derive a speaker label from each basename's prefix
         before the first '_' (the LibriTTS-R convention; SURVEY.md §2.7
@@ -219,7 +270,21 @@ class SpevDataset:
         target via the fixed table `data.emotion.EMOTION_VAD` — the label
         source that makes the advanced model's ``vad_proj`` trainable
         (reference ``PRODUCTION_SYSTEM_SUMMARY.md:71-82,124-133``).
-        Unlabeled utterances get the neutral (0,0,0) target."""
+        Unlabeled utterances get the neutral (0,0,0) target.
+
+        build_workers: feature-extraction processes for pass 2.  The
+        per-file extraction (pyin HMM is the dominant kernel) is
+        embarrassingly parallel once the stats pass has fixed the
+        normalization constants, but each utterance's device graph is
+        serial — >1 spawns worker processes that share the stats and
+        write the same ``u_{i:05d}.npz`` layout
+        (tests/test_data.py::test_parallel_build_matches_serial pins the
+        cache equivalence).  Workers run on CPU: corpus preprocessing
+        without an accelerator is a host-side pipeline, and the parent's
+        TPU handle is not shareable across processes — on a TPU host
+        prefer the serial build, whose jitted per-bucket feature graph
+        is ~75 ms/utterance through the relay (docs/BENCH.md §Corpus
+        preprocessing)."""
         self.audio = audio
         self.cache_dir = cache_dir
         self.multi_speaker = multi_speaker
@@ -311,39 +376,34 @@ class SpevDataset:
         entries = []
         tot_frames = tot_phonemes = 0
         n_errors, first_error = 0, None
-        # one-ahead wav prefetch: decode utterance i+1 on a worker thread
-        # while the device runs utterance i's feature graph (the decode +
-        # resample is pure host work and otherwise serializes the build)
-        from concurrent.futures import ThreadPoolExecutor
-
-        pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="spev-build")
-        pre = pool.submit(self._load, wavs[0])
-        for i, wav_path in enumerate(wavs):
-            try:
-                try:
-                    y = pre.result()
-                    y_err = None
-                except Exception as e:  # decode failure: surface below
-                    y, y_err = None, e
-                if i + 1 < len(wavs):
-                    pre = pool.submit(self._load, wavs[i + 1])
-                if y_err is not None:
-                    raise y_err
-                entry = self._process_file(
-                    i, wav_path, textgrid_dir, fx, g2p, min_samples, y=y
-                )
-            except Exception as e:
+        if build_workers > 1:
+            results = self._parallel_extract(
+                wavs, textgrid_dir, g2p_backend, min_samples, build_workers
+            )
+        else:
+            results = self._serial_extract(wavs, textgrid_dir, fx, g2p, min_samples)
+        for i, status, payload in results:
+            wav_path = wavs[i]
+            if status == "error":
                 # one bad file must not kill a corpus build, but errors must
                 # not vanish either: count them, keep the first, and fail
                 # loudly below if EVERY file errored (systemic cause, e.g.
                 # the device died mid-extraction)
                 n_errors += 1
                 if first_error is None:
-                    first_error = (wav_path, e)
+                    first_error = (wav_path, payload)
                 continue
-            if entry is None:
+            if status == "skip":
                 continue
-            path, phs, n_frames = entry
+            path, phs, n_frames = payload
+            if self.emotion_vad and build_workers > 1:
+                # the serial path counts emotions inside _process_file;
+                # worker-side counts die with the workers, so recount here
+                from spev_tpu.data.emotion import emotion_from_basename
+
+                emo = emotion_from_basename(
+                    os.path.splitext(os.path.basename(wav_path))[0]) or "neutral"
+                self._emotion_counts[emo] = self._emotion_counts.get(emo, 0) + 1
             tot_frames += n_frames
             tot_phonemes += len(phs)
             vocab_set.update(phs)
@@ -353,14 +413,13 @@ class SpevDataset:
                 spk = os.path.basename(wav_path).split("_")[0]
                 speaker_set.add(spk)
                 entries.append((path, spk))
-
-        pool.shutdown(wait=False)
         if n_errors and first_error is not None:
             if not self.files:
+                cause = first_error[1] if isinstance(first_error[1], BaseException) else None
                 raise RuntimeError(
                     f"all {n_errors} wav files under {data_dir} failed feature "
                     f"extraction; first error ({first_error[0]}): {first_error[1]!r}"
-                ) from first_error[1]
+                ) from cause
             print(
                 f"Warning: skipped {n_errors}/{len(wavs)} files on errors; "
                 f"first ({os.path.basename(first_error[0])}): {first_error[1]!r}"
@@ -406,6 +465,58 @@ class SpevDataset:
         with open(tmp_path, "w") as f:
             json.dump(meta_out, f)
         os.replace(tmp_path, meta_path)
+
+    def _serial_extract(self, wavs, textgrid_dir, fx, g2p, min_samples):
+        """Pass-2 generator, one file at a time on the parent's backend,
+        with a one-ahead wav prefetch: decode utterance i+1 on a worker
+        thread while the device runs utterance i's feature graph (the
+        decode + resample is pure host work and otherwise serializes the
+        build).  Yields the same (i, status, payload) rows as the
+        parallel path."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="spev-build")
+        pre = pool.submit(self._load, wavs[0])
+        for i, wav_path in enumerate(wavs):
+            try:
+                try:
+                    y = pre.result()
+                    y_err = None
+                except Exception as e:  # decode failure: surface below
+                    y, y_err = None, e
+                if i + 1 < len(wavs):
+                    pre = pool.submit(self._load, wavs[i + 1])
+                if y_err is not None:
+                    raise y_err
+                entry = self._process_file(
+                    i, wav_path, textgrid_dir, fx, g2p, min_samples, y=y
+                )
+            except Exception as e:
+                yield i, "error", e
+                continue
+            if entry is None:
+                yield i, "skip", None
+            else:
+                yield i, "ok", entry
+        pool.shutdown(wait=False)
+
+    def _parallel_extract(self, wavs, textgrid_dir, g2p_backend, min_samples,
+                          build_workers):
+        """Pass-2 over spawned CPU worker processes (see __init__ doc).
+        ``spawn`` (not fork): the parent may hold a live TPU backend, and
+        forked JAX state is unsafe."""
+        import multiprocessing
+        from concurrent.futures import ProcessPoolExecutor
+
+        ctx = multiprocessing.get_context("spawn")
+        with ProcessPoolExecutor(
+            max_workers=build_workers,
+            mp_context=ctx,
+            initializer=_build_worker_init,
+            initargs=(self.audio, self.stats, self.cache_dir, g2p_backend,
+                      textgrid_dir, min_samples, self.emotion_vad),
+        ) as ex:
+            yield from ex.map(_build_worker_run, enumerate(wavs), chunksize=4)
 
     def _load(self, path: str) -> np.ndarray:
         # native C++ decoder when built (falls back to the Python reader)

@@ -9,6 +9,7 @@ HTTP endpoint.
 
 from __future__ import annotations
 
+import re
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -150,7 +151,10 @@ def synthesize_advanced_controls(
     for i, phrase in enumerate(phrases):
         seg_scales = None
         if word_scales is not None:
-            n_words = len(phrase.split())
+            # count words with the SAME tokenization phonemes_per_word uses
+            # (g2p.py:240) — whitespace split miscounts hyphenated words and
+            # decimals, shifting the per-phrase emphasis slices
+            n_words = len(re.findall(r"[a-zA-Z']+|\d+", phrase))
             seg_scales = word_scales[w_off : w_off + n_words]
             w_off += n_words
         wav_i, mel_i = segment(phrase, seg_scales, dsp_seed + i)

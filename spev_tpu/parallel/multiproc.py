@@ -67,6 +67,9 @@ def dryrun_worker(process_id: int, num_processes: int, coordinator: str) -> dict
 
     # data axis spans processes (each process owns data rows), model axis
     # stays inside a process (TP over ICI; DP gradient reduce over "DCN")
+    assert local % 2 == 0, (
+        f"devices_per_proc must be even (got {local}): the 2-wide model axis "
+        f"must divide each process's local device count")
     shape, axes = (num_processes * 2, local // 2), ("data", "model")
     mesh = make_mesh(shape, axes)
 
@@ -148,6 +151,11 @@ def dryrun_multiprocess(
     (the DCN stand-in).  Raises on any child failure."""
     import re
 
+    if devices_per_proc % 2 != 0:
+        raise ValueError(
+            f"devices_per_proc must be even (got {devices_per_proc}): the "
+            f"2-wide model axis must divide each process's local devices — "
+            f"an odd value fails deep inside the worker's make_mesh instead")
     port = _free_port()
     coordinator = f"127.0.0.1:{port}"
     env_base = dict(os.environ)

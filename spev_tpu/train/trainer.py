@@ -552,8 +552,13 @@ class Trainer:
         return False
 
     def restore(self, path: str) -> None:
-        from spev_tpu.train.checkpoint import load_checkpoint_into
+        from spev_tpu.train.checkpoint import load_checkpoint, load_checkpoint_into
 
+        if load_checkpoint(path).get("optimizer") is None:
+            print(f"[trainer] WARNING: {path} has no optimizer state "
+                  "(params-only checkpoint, e.g. best.spev) — optimizer "
+                  "reinitialized, LR schedule restarts from the saved step; "
+                  "resume from last.spev for exact continuation")
         state, epoch = load_checkpoint_into(path, self.state)
         self.state = state
         self.epoch = epoch

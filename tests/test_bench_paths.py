@@ -81,6 +81,27 @@ def test_emit_is_idempotent():
     assert json.loads(lines[0])["error"] == "first"
 
 
+def test_bounded_records_stage_errors():
+    # Round 4 postmortem: a swallowed stage failure must leave a trace in the
+    # artifact (BENCH_r03 lost adaptive_serving_rtf with no evidence why).
+    import bench
+
+    bench.RESULT.pop("stage_errors", None)
+
+    def boom():
+        raise ValueError("kaput")
+
+    assert bench._bounded(boom, 5, "mystage") is None
+    assert "kaput" in bench.RESULT["stage_errors"]["mystage"]
+
+    def slow():
+        time.sleep(10)
+
+    assert bench._bounded(slow, 1, "slowstage") is None
+    assert "deadline" in bench.RESULT["stage_errors"]["slowstage"]
+    bench.RESULT.pop("stage_errors", None)
+
+
 @pytest.mark.slow
 def test_measure_adaptive_serving_tiny():
     from bench import measure_adaptive_serving

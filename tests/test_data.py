@@ -80,6 +80,31 @@ def test_dataset_build(corpus_ds):
     assert u["mel"].min() >= -10 and u["mel"].max() <= 2
 
 
+@pytest.mark.slow
+def test_parallel_build_matches_serial(tmp_path):
+    """build_workers>1 must write a byte-equivalent cache: same file list,
+    stats, vocab, lengths, and per-utterance arrays (workers share the
+    parent's stats pass, so normalization is identical)."""
+    root = str(tmp_path / "corpus")
+    _make_corpus(root)
+    ds_par = SpevDataset(root, cache_dir=str(tmp_path / "cache_par"),
+                         g2p_backend="rules", stats_sample=4, build_workers=2)
+    ds_ser = SpevDataset(root, cache_dir=str(tmp_path / "cache_ser"),
+                         g2p_backend="rules", stats_sample=4)
+    assert ds_par.files == ds_ser.files
+    assert ds_par.vocab == ds_ser.vocab
+    assert ds_par.stats == ds_ser.stats
+    assert [tuple(l) for l in ds_par.lengths] == [tuple(l) for l in ds_ser.lengths]
+    for i in range(len(ds_ser)):
+        a, b = ds_ser.load_utterance(i), ds_par.load_utterance(i)
+        assert set(a) == set(b)
+        for k in a:
+            if a[k].dtype == object:
+                assert list(a[k]) == list(b[k]), (i, k)
+            else:
+                np.testing.assert_allclose(a[k], b[k], atol=1e-6, err_msg=f"{i}/{k}")
+
+
 def test_dataset_cache_reload(corpus_ds, tmp_path):
     ds2 = SpevDataset("unused", cache_dir=corpus_ds.cache_dir)
     assert ds2.files == corpus_ds.files

