@@ -620,9 +620,12 @@ def main():
 
     # 2a. serving compile, bounded and timed on its own: a cold compile
     #     cache degrades the run to partial numbers instead of zero.
+    # Stage caps scale with the budget so a long-budget run (SPEV_BENCH_BUDGET
+    # high, e.g. a deliberate cache-warming pass) can sit through cold remote
+    # compiles that the default 540 s driver run must skip past.
     compiled = _bounded(
         lambda: compile_serving(bf16_vocoder=True, B=B),
-        int(max(60, min(300, left() - 120))), "serving_compile",
+        int(max(60, min(max(300, 0.5 * budget), left() - 120))), "serving_compile",
     )
     mark("serving_compile")
     _record(compile_wall_sec=stage_walls.get("serving_compile"))
@@ -663,7 +666,7 @@ def main():
             # MFU/utilization: involves one extra full compile (standard
             # path) — worth at most one stage budget, never the headline
             fl = _bounded(lambda: measure_serving_flops(compiled, True, B),
-                          int(min(120, left() - 90)), "serving_flops")
+                          int(min(max(120, 0.3 * budget), left() - 90)), "serving_flops")
             if fl:
                 serving_flops, model_flops = fl
                 _record(
@@ -685,7 +688,7 @@ def main():
     #     dropped them to the deadline; BENCH_r04 dropped everything) come
     #     BEFORE the train stages this round.
     if left() > 60:
-        lat = _bounded(measure_latency_b1, int(min(90, left() - 30)), "latency_b1")
+        lat = _bounded(measure_latency_b1, int(min(max(90, 0.2 * budget), left() - 30)), "latency_b1")
         if lat:
             _record(
                 latency_b1_ms_per_sentence=round(lat[0], 2),
@@ -695,7 +698,8 @@ def main():
 
     if left() > 90:
         adaptive_rtf = _bounded(measure_adaptive_serving,
-                                int(min(150, left() - 40)), "adaptive_serving")
+                                int(min(max(150, 0.3 * budget), left() - 40)),
+                                "adaptive_serving")
         if adaptive_rtf:
             _record(adaptive_serving_rtf=round(adaptive_rtf, 2))
         mark("adaptive_serving")
@@ -706,7 +710,7 @@ def main():
         # MFU lever, so it outranks the other train precisions for budget
         train_mixed = _bounded(
             lambda: measure_training(B=16, matmul_precision="mixed"),
-            int(min(150, left() - 50)), "train_mixed",
+            int(min(max(150, 0.3 * budget), left() - 50)), "train_mixed",
         )
         if train_mixed:
             _record(
@@ -722,7 +726,7 @@ def main():
     if left() > 100:
         train_bf16 = _bounded(
             lambda: measure_training(B=16, matmul_precision="default"),
-            int(min(120, left() - 50)), "train_bf16",
+            int(min(max(120, 0.25 * budget), left() - 50)), "train_bf16",
         )
         if train_bf16:
             _record(
@@ -734,7 +738,7 @@ def main():
     if left() > 100:
         train = _bounded(
             lambda: measure_training(B=16, matmul_precision="high"),
-            int(min(120, left() - 50)), "train_high",
+            int(min(max(120, 0.25 * budget), left() - 50)), "train_high",
         )
         if train:
             train_sps, train_hours, train_mfu = train
@@ -748,7 +752,7 @@ def main():
 
     if left() > 70:
         parity = _bounded(lambda: measure(bf16_vocoder=False, B=8),
-                          int(min(100, left() - 30)), "parity")
+                          int(min(max(100, 0.25 * budget), left() - 30)), "parity")
         if parity:
             _record(parity_grade_rtf=round(parity[0], 2))
         mark("parity")
