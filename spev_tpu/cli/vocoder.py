@@ -143,6 +143,10 @@ def main(argv=None) -> None:
     p.add_argument("--fm_weight", type=float, default=2.0,
                    help="weight of the feature-matching term in L_G "
                         "(upstream 2)")
+    p.add_argument("--disc_dtype", default=None, choices=["bf16"],
+                   help="run the discriminators with bf16 weights+activations "
+                        "(f32 loss accumulation): halves D-side HBM traffic "
+                        "(docs/BENCH.md roofline); master params stay f32")
     p.add_argument("--step_impl", default="fused_folded",
                    choices=["fused_folded", "split_unfolded"],
                    help="training-step implementation: 'fused_folded' (the "
@@ -291,7 +295,8 @@ def main(argv=None) -> None:
     step = make_vocoder_train_step(cfg, audio, periods=periods, lr=args.lr,
                                    mesh=mesh, fm_weight=args.fm_weight,
                                    mel_weight=args.mel_weight,
-                                   folded=fast, fused=fast)
+                                   folded=fast, fused=fast,
+                                   disc_dtype=args.disc_dtype)
     ckpt_dir = os.path.join("checkpoints", args.name)
     log_dir = os.path.join("logs", args.name)
     os.makedirs(ckpt_dir, exist_ok=True)

@@ -91,26 +91,31 @@ def evaluate_checkpoint(
 
     fwd_cache: Dict[tuple, object] = {}
     multi_speaker = "advanced" in params and "speaker_embedding" in params["advanced"]
+    # emotion-conditioned (use_vad) checkpoints must evaluate WITH their
+    # VAD conditioning, exactly as training did — without it the learned
+    # register shifts score as error (the per-emotion QUALITY.md rows)
+    use_vad = "advanced" in params and "vad_proj" in params["advanced"]
 
     def get_fwd(P: int, M: int):
         if (P, M) not in fwd_cache:
             cfg_pm = dataclasses.replace(model_cfg, max_phonemes=P, max_frames=M)
 
             def fwd(p, ids, lens, durs, pitch, energy, breath, rough, bright,
-                    nasal, speaker_ids):
+                    nasal, speaker_ids, vad):
                 kw = dict(
                     target_durations=durs, target_pitch=pitch,
                     target_energy=energy, target_breath=breath,
                     target_rough=rough, target_bright=bright,
                     target_nasal=nasal, deterministic=True,
                 )
-                if speaker_ids is not None:
-                    # multi-speaker checkpoints condition through the
-                    # advanced wrapper, exactly as training did
+                if speaker_ids is not None or vad is not None:
+                    # multi-speaker / emotion checkpoints condition through
+                    # the advanced wrapper, exactly as training did
                     from spev_tpu.models.advanced import apply_advanced
 
                     out = apply_advanced(p, cfg_pm, ids, lens,
-                                         speaker_ids=speaker_ids, **kw)
+                                         speaker_ids=speaker_ids, vad=vad,
+                                         **kw)
                 else:
                     out = apply_fastspeech2(p, cfg_pm, ids, lens, **kw)
                 return (out["mel_pred"], out["mel_len"],
@@ -128,9 +133,10 @@ def evaluate_checkpoint(
             utts = [ds.load_utterance(i) for i in pad]
             b = collate(utts, vocab, P, M, model_cfg.n_mels)
             spk = b.get("speaker_ids") if multi_speaker else None
+            vad = b.get("vad") if use_vad else None
             mel, mel_len, log_dur, pitch_pred = fwd(
                 params, b["ids"], b["lens"], b["durs"], b["pitch"], b["energy"],
-                b["breath"], b["rough"], b["bright"], b.get("nasal"), spk,
+                b["breath"], b["rough"], b["bright"], b.get("nasal"), spk, vad,
             )
             mel = np.asarray(mel, np.float32)
             mel_len = np.asarray(mel_len)

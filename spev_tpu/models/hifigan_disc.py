@@ -184,9 +184,20 @@ def init_discriminators(key, periods: Sequence[int] = MPD_PERIODS, n_scales: int
     }
 
 
-def apply_discriminators(params: dict, wav: jnp.ndarray, periods: Sequence[int] = None):
-    """wav (B, T) → list of (logits, features) over all sub-discriminators."""
+def apply_discriminators(params: dict, wav: jnp.ndarray, periods: Sequence[int] = None,
+                         dtype=None):
+    """wav (B, T) → list of (logits, features) over all sub-discriminators.
+
+    ``dtype=jnp.bfloat16`` runs every sub-discriminator with bf16 weights
+    AND activations — half the HBM bytes on the narrow-channel conv stacks
+    that dominate the GAN step (docs/BENCH.md roofline) — with logits and
+    feature maps returned in bf16; callers accumulate losses in f32.  The
+    master params stay f32 (the cast is traced, so gradients flow back to
+    the f32 leaves).  Default None preserves the f32 parity path."""
     periods = periods if periods is not None else MPD_PERIODS[: len(params["mpd"])]
+    if dtype is not None:
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
+        wav = wav.astype(dtype)
     outs = []
     for p, period in zip(params["mpd"], periods):
         outs.append(apply_period_disc(p, wav, period=period))

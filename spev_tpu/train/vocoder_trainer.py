@@ -87,6 +87,7 @@ def make_vocoder_train_step(
     mesh=None,
     folded: bool = False,
     fused: bool = False,
+    disc_dtype: str | None = None,
 ) -> Callable:
     """step(state, mel (B,T,M), wav (B,T·hop)) → (state, metrics).
 
@@ -118,6 +119,12 @@ def make_vocoder_train_step(
     parallelism is the only axis that pays here.
     """
     opt = make_vocoder_optimizer(lr)
+    # bf16 discriminator mode (docs/BENCH.md): the D stacks are
+    # bandwidth-bound narrow-channel convs, so halving activation/weight
+    # bytes buys real wall time; losses still accumulate in f32 below and
+    # the master params/optimizer stay f32 throughout.
+    d_dt = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}.get(disc_dtype or "")
+    f32 = lambda x: x.astype(jnp.float32)
 
     if folded:
         from spev_tpu.models.hifigan_folded import (apply_hifigan_folded,
@@ -154,10 +161,12 @@ def make_vocoder_train_step(
         # both halves feed anyway — batching adds no extra grad work.
         B = real.shape[0]
         outs = apply_discriminators(
-            disc_params, jnp.concatenate([real, fake], axis=0), periods=periods
+            disc_params, jnp.concatenate([real, fake], axis=0), periods=periods,
+            dtype=d_dt,
         )
         loss = 0.0
         for l, _ in outs:
+            l = f32(l)
             loss = loss + jnp.mean((1.0 - l[:B]) ** 2) + jnp.mean(l[B:] ** 2)
         return loss
 
@@ -166,14 +175,17 @@ def make_vocoder_train_step(
         # disc passes stay SEPARATE (the real pass carries no gradient,
         # so JAX builds no backward for it; a concat would drag the real
         # half through every disc conv-transpose).
-        outs_r = apply_discriminators(disc_params, real, periods=periods)
-        outs_f = apply_discriminators(disc_params, fake, periods=periods)
+        outs_r = apply_discriminators(disc_params, real, periods=periods,
+                                      dtype=d_dt)
+        outs_f = apply_discriminators(disc_params, fake, periods=periods,
+                                      dtype=d_dt)
         adv = 0.0
         fm = 0.0
         for (_, fr), (lf, ff) in zip(outs_r, outs_f):
-            adv = adv + jnp.mean((1.0 - lf) ** 2)
+            adv = adv + jnp.mean((1.0 - f32(lf)) ** 2)
             for a, b in zip(fr, ff):
-                fm = fm + jnp.mean(jnp.abs(a - b))
+                # subtract at the compute dtype, accumulate the L1 in f32
+                fm = fm + jnp.mean(f32(jnp.abs(a - b)))
         mel_l1 = _mel_l1(real, fake, audio)
         total = adv + fm_weight * fm + mel_weight * mel_l1
         return total, {"g_adv": adv, "g_fm": fm, "g_mel": mel_l1}

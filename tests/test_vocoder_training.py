@@ -57,6 +57,51 @@ def test_combined_discriminators():
         assert np.isfinite(np.asarray(logits)).all()
 
 
+def test_bf16_disc_mode_trains_and_tracks_f32():
+    """The --disc_dtype bf16 trainer mode: the step runs entirely with bf16
+    discriminator weights/activations, master params and grads stay f32,
+    the step stays finite, and first-step losses agree with the f32 graph
+    to bf16 rounding tolerance (same init, same batch)."""
+    audio = AudioConfig()
+    hop = TINY.hop_recovery
+    T = 16
+    t = np.arange(T * hop) / audio.sample_rate
+    wav = (0.4 * np.sin(2 * np.pi * 180 * t)).astype(np.float32)[None]
+    from spev_tpu.ops.stft import log_mel_spectrogram
+
+    mel = np.asarray(
+        log_mel_spectrogram(jnp.asarray(wav[0]), fmax=audio.sample_rate / 2)
+    ).T[None, :T]
+
+    def fresh_state():
+        s = init_vocoder_train_state(jax.random.PRNGKey(0), TINY)
+        s = s._replace(disc_params=init_discriminators(
+            jax.random.PRNGKey(1), periods=(2,), n_scales=1))
+        from spev_tpu.train.vocoder_trainer import make_vocoder_optimizer
+
+        return s._replace(disc_opt=make_vocoder_optimizer().init(s.disc_params))
+
+    _, m_f32 = make_vocoder_train_step(TINY, audio, periods=(2,))(
+        fresh_state(), jnp.asarray(mel), jnp.asarray(wav))
+
+    step = make_vocoder_train_step(TINY, audio, periods=(2,), disc_dtype="bf16")
+    state = fresh_state()
+    for _ in range(3):
+        state, m = step(state, jnp.asarray(mel), jnp.asarray(wav))
+        assert float(m["skipped"]) == 0.0
+        assert np.isfinite(float(m["d_loss"])) and np.isfinite(float(m["g_loss"]))
+    # master trees stay f32 through bf16-D updates
+    for leaf in jax.tree.leaves(state.disc_params):
+        assert leaf.dtype == jnp.float32
+    for leaf in jax.tree.leaves(state.gen_params):
+        assert leaf.dtype == jnp.float32
+    # first-step losses track the f32 graph (bf16 rounding tolerance)
+    state2, m2 = step(fresh_state(), jnp.asarray(mel), jnp.asarray(wav))
+    for k in ("d_loss", "g_loss", "g_mel"):
+        a, b = float(m2[k]), float(m_f32[k])
+        assert abs(a - b) < 0.08 * max(1.0, abs(b)), (k, a, b)
+
+
 @pytest.mark.slow
 def test_vocoder_training_improves_mel():
     audio = AudioConfig()

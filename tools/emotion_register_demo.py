@@ -101,8 +101,46 @@ def main(epochs: int = 150, out_path: str = "docs/demo/emotion_metrics.json",
         "final_quality": {k: round(float(v), 2)
                           for k, v in trainer.last_quality.items()},
         "vad_proj_abs_mean": round(float(np.abs(w).mean()), 5),
+        "per_emotion_val": per_emotion_eval(ckpt, ds, va_idx),
     })
     return out
+
+
+def per_emotion_eval(ckpt: str, ds, va_idx) -> dict:
+    """Held-out eval rows grouped by emotion label (the multi-speaker
+    per-speaker table's emotion sibling, VERDICT r4 #5): MCD, duration
+    error, and F0 RMSE per emotion.  The eval routes each batch's VAD
+    target through the advanced wrapper exactly as training did
+    (`infer/evaluate.py` use_vad path)."""
+    from spev_tpu.data.emotion import EMOTION_VAD
+    from spev_tpu.infer.evaluate import evaluate_checkpoint
+
+    res = evaluate_checkpoint(ckpt, ds, indices=list(va_idx), batch_size=16,
+                              phoneme_buckets=(32,), frame_buckets=(256,))
+    # dataset index -> emotion via the utterance's stored VAD target
+    # (nearest-neighbor match: the cached target is float32, so exact
+    # tuple equality against the python-float table misses)
+    emos = sorted(EMOTION_VAD)
+    table = np.asarray([EMOTION_VAD[e] for e in emos], np.float64)
+    emo_of = {}
+    for i in va_idx:
+        v = np.asarray(ds.load_utterance(i)["vad"], np.float64)
+        emo_of[i] = emos[int(np.argmin(np.sum((table - v) ** 2, axis=1)))]
+    rows = {}
+    for emo in sorted(set(emo_of.values())):
+        rs = [v for i, v in res["per_utterance"].items() if emo_of[i] == emo]
+        if not rs:
+            continue
+        rows[emo] = {
+            "n": len(rs),
+            "mcd_db": round(float(np.mean([r["mcd_db"] for r in rs])), 2),
+            "dur_err_pct": round(float(np.mean(
+                [r["dur_err_pct"] for r in rs])), 2),
+            "f0_rmse_hz": round(float(np.mean(
+                [r["f0_rmse_hz"] for r in rs if "f0_rmse_hz" in r])), 2),
+        }
+        print(f"{emo} val: {rows[emo]}", flush=True)
+    return rows
 
 
 def measure_registers(ckpt: str, out_path: str, wav_dir=None, extra=None):

@@ -229,6 +229,14 @@ def main() -> None:
     ap.add_argument("--gen", default=None, help="gen_*.spev for score")
     ap.add_argument("--tag", default="score", help="score output name")
     args = ap.parse_args()
+    # the axon sitecustomize overrides jax_platforms at interpreter start;
+    # an explicit JAX_PLATFORMS env (cpu for the host-side corpus phase)
+    # must be re-applied in code before backend init (same recipe as
+    # bench.py / tests/conftest.py)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     os.makedirs(args.work, exist_ok=True)
     for ph in args.phases:
         if ph == "corpus":

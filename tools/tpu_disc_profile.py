@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--segment", type=int, default=8192)
     ap.add_argument("--n_iter", type=int, default=30)
     ap.add_argument("--precision", default="default")
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                    help="bf16 casts wav + disc params (the --disc_dtype "
+                         "trainer mode) to halve HBM bytes")
     args = ap.parse_args()
 
     info = probe_backend(probe_deadline=time.monotonic() + 120)
@@ -58,7 +61,12 @@ def main():
     modules.set_matmul_precision(args.precision)
     B, T = args.batch_size, args.segment
     rng = np.random.default_rng(0)
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     wav = jnp.asarray(rng.normal(0, 0.1, (B, T)), jnp.float32)
+
+    def cast(tree):
+        return jax.tree.map(lambda x: x.astype(dt), tree)
+    wav = wav.astype(dt)
 
     def bench(fn, *xs):
         f = jax.jit(fn)
@@ -75,11 +83,12 @@ def main():
     rows = []
     key = jax.random.PRNGKey(0)
     for i, p in enumerate(MPD_PERIODS):
-        params = init_period_disc(jax.random.fold_in(key, i), p)
+        params = cast(init_period_disc(jax.random.fold_in(key, i), p))
 
         def fwd(prm, w, _p=p):
             logits, feats = apply_period_disc(prm, w, period=_p)
-            return jnp.mean(logits ** 2) + sum(jnp.mean(jnp.abs(f)) for f in feats)
+            return (jnp.mean(logits.astype(jnp.float32) ** 2)
+                    + sum(jnp.mean(jnp.abs(f).astype(jnp.float32)) for f in feats))
 
         f_ms = bench(fwd, params, wav)
         fb_ms = bench(jax.grad(fwd), params, wav)
@@ -91,11 +100,12 @@ def main():
     for s in range(3):
         if s > 0:
             x = _avg_pool(x, 4)
-        params = init_scale_disc(jax.random.fold_in(key, 100 + s))
+        params = cast(init_scale_disc(jax.random.fold_in(key, 100 + s)))
 
         def fwd(prm, w):
             logits, feats = apply_scale_disc(prm, w)
-            return jnp.mean(logits ** 2) + sum(jnp.mean(jnp.abs(f)) for f in feats)
+            return (jnp.mean(logits.astype(jnp.float32) ** 2)
+                    + sum(jnp.mean(jnp.abs(f).astype(jnp.float32)) for f in feats))
 
         f_ms = bench(fwd, params, x)
         fb_ms = bench(jax.grad(fwd), params, x)
@@ -107,6 +117,7 @@ def main():
         "total_fwd_ms": round(sum(r["fwd_ms"] for r in rows), 2),
         "total_fwd_bwd_ms": round(sum(r["fwd_bwd_ms"] for r in rows), 2),
         "batch": B, "segment": T, "precision": args.precision,
+        "dtype": args.dtype,
         "device": info.get("device_kind"),
     }), flush=True)
     return 0

@@ -59,23 +59,36 @@ def main():
         g2p.phonemes(t)
     g2p_ms_total = (time.perf_counter() - t0) * 1e3
 
-    # 2. raw device→host transfer for one fused batch's outputs
+    # 2. raw device→host transfer for one fused batch's outputs.
+    # JAX memoizes an array's host copy after the first np.asarray, so
+    # each timed fetch must read a FRESH device array (computed on device,
+    # block_until_ready'd OUTSIDE the timed window) — the first cut of
+    # this tool timed host memcpys of cached values and reported a
+    # 496 MB/s "tunnel".
     B, M, hop, NMEL = 16, 768, 256, 80
-    wav_f32 = jnp.zeros((B, M * hop), jnp.float32).block_until_ready()
-    mel_f32 = jnp.zeros((B, M, NMEL), jnp.float32).block_until_ready()
-    wav_i16 = jnp.zeros((B, M * hop), jnp.int16).block_until_ready()
 
-    def fetch_ms(*arrs, n=8):
-        np.asarray(arrs[0])  # warm
-        t0 = time.perf_counter()
-        for _ in range(n):
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def maker(shape, dtype_name):
+        dtype = jnp.dtype(dtype_name)
+        return jax.jit(lambda i: (jnp.zeros(shape, jnp.float32) + i).astype(dtype))
+
+    def fetch_ms(shapes_dtypes, n=6):
+        total = 0.0
+        for i in range(n + 1):
+            arrs = [maker(s, jnp.dtype(d).name)(jnp.float32(i)).block_until_ready()
+                    for s, d in shapes_dtypes]
+            t0 = time.perf_counter()
             for a in arrs:
                 np.asarray(a)
-        return (time.perf_counter() - t0) / n * 1e3
+            if i > 0:  # first iteration warms the dispatch path
+                total += time.perf_counter() - t0
+        return total / n * 1e3
 
-    full_ms = fetch_ms(wav_f32, mel_f32)
-    pcm_only_ms = fetch_ms(wav_i16)
-    mb = (wav_f32.nbytes + mel_f32.nbytes) / 1e6
+    full_ms = fetch_ms([((B, M * hop), jnp.float32), ((B, M, NMEL), jnp.float32)])
+    pcm_only_ms = fetch_ms([((B, M * hop), jnp.int16)])
+    mb = (B * M * hop * 4 + B * M * NMEL * 4) / 1e6
     row = {
         "variant": "serving/overhead",
         "g2p_ms_per_64_texts": round(g2p_ms_total, 1),

@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--segment_frames", type=int, default=32)
     ap.add_argument("--n_iter", type=int, default=20)
     ap.add_argument("--precisions", default="high,default")
+    ap.add_argument("--disc_dtype", default=None, choices=["bf16"],
+                    help="profile the bf16-discriminator trainer mode "
+                         "(--disc_dtype bf16 on the CLI); MFU numerator "
+                         "stays the intrinsic f32 FLOP count so rows stay "
+                         "comparable")
     ap.add_argument("--impls", default="split_unfolded,fused_folded",
                     help="comma list of step implementations to profile: "
                          "split_unfolded (two dispatches, canonical graph), "
@@ -89,7 +94,8 @@ def main():
             kw = impls[impl]
             modules.set_matmul_precision(prec)
             state = init_vocoder_train_state(jax.random.PRNGKey(0), cfg)
-            step = make_vocoder_train_step(cfg, audio, **kw)
+            step = make_vocoder_train_step(cfg, audio,
+                                           disc_dtype=args.disc_dtype, **kw)
 
             # FLOP counts first: the steps donate their state, so lower()
             # must see it before any execution consumes its buffers.  The
@@ -116,7 +122,9 @@ def main():
             if peak and d_fl and g_fl:
                 mfu = (d_fl + g_fl) / (full_ms / 1e3) / peak
             row = {
-                "variant": f"vocoder/{args.config}/{prec}/{impl}",
+                "variant": (f"vocoder/{args.config}/{prec}/{impl}"
+                            + (f"+d_{args.disc_dtype}" if args.disc_dtype
+                               else "")),
                 "batch": B, "segment_frames": T,
                 "full_ms": round(full_ms, 2),
                 "steps_per_s": round(1e3 / full_ms, 2),
