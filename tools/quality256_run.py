@@ -74,19 +74,21 @@ def phase_corpus(work: str) -> None:
           flush=True)
 
 
-def make_cfg(vocab_size: int, epochs: int):
+def make_cfg(vocab_size: int, epochs: int, lr: float = 1e-3,
+             warmup_steps: int = 500):
     from spev_tpu.config import ModelConfig, SpevConfig, TrainConfig
 
     return SpevConfig(
         model=ModelConfig(vocab_size=vocab_size, embed_dim=256, hidden_dim=256,
                           n_mels=80, max_phonemes=32, max_frames=256,
                           vp_output_norm=False),
-        train=TrainConfig(batch_size=16, warmup_steps=200, epochs=epochs,
-                          warmup_epochs=2, learning_rate=2e-3),
+        train=TrainConfig(batch_size=16, warmup_steps=warmup_steps,
+                          epochs=epochs, warmup_epochs=2, learning_rate=lr),
     )
 
 
-def phase_train(work: str, epochs: int) -> None:
+def phase_train(work: str, epochs: int, lr: float = 1e-3,
+                warmup_steps: int = 500) -> None:
     best = os.path.join(work, "ck", "best.spev")
     done = os.path.join(work, "train_done.json")
     if os.path.exists(done):
@@ -101,7 +103,7 @@ def phase_train(work: str, epochs: int) -> None:
 
     ds = build_dataset(work)
     vocab = Vocab(ds.vocab)
-    cfg = make_cfg(len(vocab), epochs)
+    cfg = make_cfg(len(vocab), epochs, lr=lr, warmup_steps=warmup_steps)
     tr_idx, va_idx = train_val_split(len(ds), VAL_FRAC, seed=SEED)
     trainer = Trainer(cfg, vocab, ds.stats, ckpt_dir=os.path.join(work, "ck"),
                       log_dir=os.path.join(work, "logs"))
@@ -226,6 +228,11 @@ def main() -> None:
                     choices=["corpus", "train", "eval", "score"])
     ap.add_argument("--work", default="/root/q5work")
     ap.add_argument("--epochs", type=int, default=400)
+    ap.add_argument("--lr", type=float, default=1e-3,
+                    help="hidden-256 diverges at the hidden-96 dashboard's "
+                         "2e-3 (measured: val 0.88@5 -> 1.05@150); 1e-3 "
+                         "is the full-size default")
+    ap.add_argument("--warmup_steps", type=int, default=500)
     ap.add_argument("--gen", default=None, help="gen_*.spev for score")
     ap.add_argument("--tag", default="score", help="score output name")
     args = ap.parse_args()
@@ -242,7 +249,8 @@ def main() -> None:
         if ph == "corpus":
             phase_corpus(args.work)
         elif ph == "train":
-            phase_train(args.work, args.epochs)
+            phase_train(args.work, args.epochs, lr=args.lr,
+                        warmup_steps=args.warmup_steps)
         elif ph == "eval":
             phase_eval(args.work)
         elif ph == "score":
